@@ -1,0 +1,118 @@
+"""MinHash-LSH candidate generation (build-plan step 3, SURVEY.md §7).
+
+Replaces the reference's Sorted-Neighborhood blocking -- blocking-key
+projection + global sort + sliding window
+(/root/reference/deduplicaiton/.../processes/Deduplication.java:64-125) --
+with banded LSH: 128-perm MinHash signatures are split into b bands of r rows,
+each band hashed to a bucket key, and candidate pairs are the within-bucket
+pairs of an equi self-join on (band_idx, band_hash). Detection probability at
+Jaccard s is 1-(1-s^r)^b (0.9998 at s=0.7 with b=32, r=4), versus SNM's
+window-bounded recall.
+
+Scale notes (10^12 files, north_rule skew clause):
+- the band table is 32 rows per file but only (file_id, band_idx, band_hash):
+  24 bytes of payload, no content strings.
+- the self-join is a shuffle-hash/sort-merge equi join on (band_idx,
+  band_hash); AQE skew-join splitting is on (session.py).
+- hot buckets: bucket sizes are counted first (one cheap agg on the same
+  key, reusing the shuffle partitioning); buckets over `bucket_drop` are
+  degenerate (near-empty shingle sets, boilerplate) and dropped with a
+  metric; buckets over `bucket_cap` are *star-paired* (every member paired
+  with the bucket minimum) instead of all-pairs-paired, turning a C(n,2)
+  blowup into n-1 pairs while preserving bucket connectivity -- members of
+  an LSH bucket share a full band signature, so rep-to-member verification
+  almost surely reaches the same verdict as all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.config import DedupConfig
+from microdeduplication_spark.functions.hashing import make_minhash_udf
+from microdeduplication_spark.functions.text import shingle_hashes, tokens
+
+
+def add_shingles(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, lang, content_norm) -> + shingles array<long> (distinct, sorted).
+
+    Pure Catalyst higher-order functions (whole-stage codegen); the content
+    string is dropped immediately after -- downstream stages ship only hashes.
+    """
+    return reps.select(
+        "file_id",
+        "lang",
+        shingle_hashes(tokens(F.col("content_norm")), cfg.shingle_k).alias("shingles"),
+    )
+
+
+def minhash_signatures(shingled: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """+ sig array<long>[num_perms] via the vectorized Arrow pandas_udf."""
+    mh = make_minhash_udf(cfg.num_perms, cfg.seed)
+    return shingled.select("file_id", mh(F.col("shingles")).alias("sig"))
+
+
+def lsh_bands(sigs: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, band_idx, band_hash): xxhash64 over each r-row slice of sig.
+
+    Band hashing stays JVM-side: xxhash64 accepts array arguments, and the
+    band index is salted into the hash so identical slices in different bands
+    cannot collide into one bucket.
+    """
+    r = cfg.rows_per_band
+    band_arr = F.transform(
+        F.sequence(F.lit(0), F.lit(cfg.lsh_bands - 1)),
+        lambda j: F.xxhash64(j, F.slice(F.col("sig"), j * F.lit(r) + F.lit(1), r)),
+    )
+    return sigs.select(
+        "file_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+    )
+
+
+def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """LSH self-join -> distinct (a_id, b_id) with a_id < b_id.
+
+    Returns (a_id, b_id, method='minhash'). Also usable for any
+    (file_id, band_idx, band_hash)-shaped blocking table (SimHash reuses it).
+    """
+    return banded_self_join(bands, cfg, method="minhash")
+
+
+def banded_self_join(
+    bands: DataFrame, cfg: DedupConfig, method: str
+) -> DataFrame:
+    key = ["band_idx", "band_hash"]
+    sizes = bands.groupBy(*key).agg(F.count("*").alias("bucket_n"))
+    active = bands.join(
+        sizes.where(
+            (F.col("bucket_n") >= 2) & (F.col("bucket_n") <= cfg.bucket_drop)
+        ),
+        key,
+    )
+
+    small = active.where(F.col("bucket_n") <= cfg.bucket_cap).drop("bucket_n")
+    a = small.alias("a")
+    b = small.alias("b")
+    small_pairs = (
+        a.join(b, key)
+        .where(F.col("a.file_id") < F.col("b.file_id"))
+        .select(
+            F.col("a.file_id").alias("a_id"), F.col("b.file_id").alias("b_id")
+        )
+    )
+
+    # hot buckets: star pairing against the bucket min (linear, skew-proof)
+    big = active.where(F.col("bucket_n") > cfg.bucket_cap)
+    big_min = big.groupBy(*key).agg(F.min("file_id").alias("rep"))
+    big_pairs = (
+        big.join(big_min, key)
+        .where(F.col("file_id") != F.col("rep"))
+        .select(F.col("rep").alias("a_id"), F.col("file_id").alias("b_id"))
+    )
+
+    return (
+        small_pairs.unionByName(big_pairs)
+        .distinct()
+        .withColumn("method", F.lit(method))
+    )

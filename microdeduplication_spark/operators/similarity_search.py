@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two strategies:
+
+- brute-force top-k cosine: the correctness baseline. Cross join pruned to
+  (a < b) with JVM-side cosine; fine up to ~10^5 vectors per partition-pair,
+  used as the oracle-checked query.
+- LSH-bucketed (random hyperplane / SRP): the 100 TB path. Each vector gets a
+  `n_planes`-bit signature from signed random projections; vectors sharing a
+  signature-band bucket are the only pairs scored. Recall follows the SRP
+  collision probability 1 - theta/pi per bit; bands trade recall/cost exactly
+  like MinHash bands. Hyperplanes are generated driver-side from the seed,
+  broadcast as literal arrays -- deterministic, no Python in the scoring path.
+
+Also: embedding-cosine near-duplicate detection (pairs above a threshold)
+feeding the same connected-components clustering as the text pipeline.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.functions.vectors import cosine, dot
+
+
+def brute_force_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """All pairs (a_id < b_id) with cosine >= threshold. O(n^2): baseline only."""
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    return (
+        a.join(b, F.col("a_id") < F.col("b_id"))
+        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("a_id", "b_id", "cos")
+    )
+
+
+def brute_force_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per query vector (queries broadcast: small dim table)."""
+    from pyspark.sql import Window as W
+
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v")
+    )
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    scored = (
+        c.join(F.broadcast(q), F.col("q_id") != F.col("n_id"))
+        .withColumn("cos", cosine(F.col("q_v"), F.col("n_v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
+def srp_signatures(
+    emb: DataFrame, dim: int, n_planes: int = 16, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Signed-random-projection signature (int bucket of n_planes bits).
+
+    Hyperplanes are a driver-side (n_planes, dim) float array folded into the
+    plan as literals; the per-row work is n_planes JVM dot products.
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
+    sig = F.lit(0).cast("long")
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[j]])
+        bit = (dot(F.col(vec_col), plane) > 0).cast("long")
+        sig = sig + F.shiftleft(bit, j)
+    return emb.select(F.col(id_col).alias("file_id"), sig.alias("band_hash"))
+
+
+def srp_bucket_pairs(
+    emb: DataFrame, dim: int, n_planes: int = 16, n_tables: int = 4,
+    seed: int = 42, threshold: float = 0.9,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN near-dup pairs: union of per-table SRP bucket joins + exact rescore.
+
+    Each table uses an independent hyperplane set; candidates from any table
+    are rescored with exact cosine and filtered at `threshold`.
+    """
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.operators.minhash_lsh import banded_self_join
+
+    tables = []
+    for t in range(n_tables):
+        s = srp_signatures(emb, dim, n_planes, seed + 1000 * t, id_col, vec_col)
+        tables.append(s.withColumn("band_idx", F.lit(t)))
+    bands = tables[0]
+    for t in tables[1:]:
+        bands = bands.unionByName(t)
+    cands = banded_self_join(bands, DedupConfig(), method="srp")
+    a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
+    b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
+    return (
+        cands.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("cos", cosine(F.col("a_v"), F.col("b_v")))
+        .where(F.col("cos") >= F.lit(threshold))
+        .select("a_id", "b_id", "cos")
+    )

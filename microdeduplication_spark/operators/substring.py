@@ -1,0 +1,92 @@
+"""Cross-file substring-duplicate pass via windowed line-hash fingerprints
+(build-plan step 6, SURVEY.md §7).
+
+The reference compares whole records inside a sorted sliding window
+(/root/reference/deduplicaiton/.../processes/Deduplication.java:103-125); the
+suffix-array heritage survives here at coarse granularity: each file's
+normalized lines are hashed, every window of `substr_window` consecutive
+line-hashes is fingerprinted (a rolling document fingerprint, cf. Winnowing /
+Broder shingling at line granularity), and files sharing a fingerprint are
+candidates. A file A embedded verbatim in a larger file B shares every
+window of A (>= 1 as long as |A| >= w lines), even when their whole-file
+Jaccard is below the near-dup threshold.
+
+Verification is *containment*, not Jaccard: |lines(A) cap lines(B)| /
+min(|lines(A)|, |lines(B)|) >= containment_threshold, over distinct line sets.
+
+Scale notes: fingerprints are 8-byte hashes, (n_lines - w + 1) per file;
+explode -> groupBy uses one shuffle on the fingerprint key; the shared
+banded_self_join handles hot fingerprints (boilerplate headers, license
+blocks) with the same drop/star-pair policy as LSH buckets. Never
+concatenates the corpus (SURVEY.md §7 "hard parts").
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.config import DedupConfig
+from microdeduplication_spark.functions.text import line_hashes
+from microdeduplication_spark.operators.minhash_lsh import banded_self_join
+
+
+def line_hash_sets(reps: DataFrame) -> DataFrame:
+    """(file_id, lines array<long> ordered, line_set array<long> distinct)."""
+    return reps.select(
+        "file_id",
+        line_hashes(F.col("content_norm")).alias("lines"),
+    ).select(
+        "file_id",
+        "lines",
+        F.array_sort(F.array_distinct("lines")).alias("line_set"),
+    )
+
+
+def window_fingerprints(lined: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """(file_id, band_idx=0, band_hash=fingerprint) one row per distinct window.
+
+    Shaped like an LSH band table so banded_self_join is reusable verbatim.
+    """
+    w = cfg.substr_window
+    n = F.size("lines")
+    windows = F.transform(
+        F.sequence(F.lit(0), n - F.lit(w)),
+        lambda i: F.xxhash64(F.slice(F.col("lines"), i + F.lit(1), w)),
+    )
+    whole = F.array(F.xxhash64(F.col("lines")))
+    fps = F.array_distinct(F.when(n >= F.lit(w), windows).otherwise(whole))
+    return lined.select(
+        "file_id", F.explode(fps).alias("band_hash")
+    ).withColumn("band_idx", F.lit(0))
+
+
+def candidate_pairs(lined: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """Files sharing >= 1 window fingerprint -> (a_id, b_id, method='substring')."""
+    fps = window_fingerprints(lined, cfg)
+    return banded_self_join(fps, cfg, method="substring")
+
+
+def verify_containment(
+    candidates: DataFrame, lined: DataFrame, cfg: DedupConfig
+) -> DataFrame:
+    """Exact line-set containment check -> (a_id, b_id, method, score).
+
+    score = |A cap B| / min(|A|, |B|) on distinct line-hash sets; JVM-side
+    array_intersect, no Python.
+    """
+    sets_a = lined.select(
+        F.col("file_id").alias("a_id"), F.col("line_set").alias("a_set")
+    )
+    sets_b = lined.select(
+        F.col("file_id").alias("b_id"), F.col("line_set").alias("b_set")
+    )
+    inter = F.size(F.array_intersect("a_set", "b_set"))
+    denom = F.least(F.size("a_set"), F.size("b_set"))
+    return (
+        candidates.join(sets_a, "a_id")
+        .join(sets_b, "b_id")
+        .withColumn("score", inter / denom)
+        .where(F.col("score") >= F.lit(cfg.containment_threshold))
+        .select("a_id", "b_id", "method", "score")
+    )

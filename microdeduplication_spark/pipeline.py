@@ -1,0 +1,259 @@
+"""End-to-end dedup pipeline: stage graph + idempotent checkpoints + metrics.
+
+Stage graph (SURVEY.md §3 "new-engine lifecycle"):
+
+    ingest_normalize -> exact_dedup(norm_sha)
+        -> [minhash_lsh | simhash | substring]   (on exact representatives)
+        -> candidate_union -> verify (jaccard / containment)
+        -> (+ exact star edges) -> connected_components -> clusters
+
+Each stage is a pure DataFrame->DataFrame function (operators/*); this module
+only composes them, persists per-stage checkpoint tables, and records the
+lineage manifest (north_rule: "resumable from checkpoint with per-partition
+lineage + metrics").
+
+Checkpoint contract: stage outputs land at <dir>/<stage>/ as parquet with a
+sibling <dir>/<stage>.manifest.json carrying {stage, config, input_stages,
+rows, partitions, wall_ms}. On rerun, a stage whose manifest matches the
+current config hash is read back instead of recomputed; deleting any stage
+directory invalidates it and everything downstream recomputes from the last
+valid prefix -- tested by test_pipeline.py::test_resume_idempotent.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.config import DedupConfig
+from microdeduplication_spark.operators import (
+    connected_components as cc,
+    exact_dedup,
+    minhash_lsh,
+    simhash as simhash_op,
+    substring,
+    verify,
+)
+
+ALL_PASSES = ("minhash", "simhash", "substring")
+
+
+@dataclass
+class PipelineResult:
+    clusters: DataFrame            # (file_id, cluster_id)
+    verified: DataFrame            # (a_id, b_id, method, score)
+    candidates: DataFrame          # (a_id, b_id, method)
+    normalized: DataFrame          # ingest output
+    metrics: list[dict] = field(default_factory=list)
+
+
+class _Checkpointer:
+    """Per-stage parquet checkpoints with config-hashed manifests."""
+
+    def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig):
+        self.spark = spark
+        self.root = root
+        # stable across processes (Python's builtin str hash is seeded per run)
+        self.cfg_hash = hashlib.sha256(
+            json.dumps(cfg.to_dict(), sort_keys=True).encode()
+        ).hexdigest()[:16]
+        self.cfg = cfg
+        self.metrics: list[dict] = []
+        # build_id of each stage's current-session output; downstream stages
+        # record the exact build_ids they consumed, so rebuilding any upstream
+        # stage (new build_id) invalidates the whole downstream suffix.
+        self.build_ids: dict[str, str] = {}
+
+    def _paths(self, stage: str) -> tuple[str, str]:
+        return (
+            os.path.join(self.root, stage),
+            os.path.join(self.root, f"{stage}.manifest.json"),
+        )
+
+    def run(self, stage: str, build, input_stages: list[str]) -> DataFrame:
+        """Build (or reload) one stage; record lineage metrics either way."""
+        t0 = time.monotonic()
+        if self.root is None:
+            df = build()
+            self.metrics.append(
+                {"stage": stage, "cached": False, "wall_ms": None,
+                 "inputs": input_stages}
+            )
+            return df
+        data_dir, man_path = self._paths(stage)
+        expected_inputs = {s: self.build_ids.get(s) for s in input_stages}
+        if os.path.exists(man_path) and os.path.exists(data_dir):
+            with open(man_path) as f:
+                man = json.load(f)
+            if (
+                man.get("config_hash") == self.cfg_hash
+                and man.get("input_ids") == expected_inputs
+            ):
+                self.build_ids[stage] = man["build_id"]
+                self.metrics.append({**man, "cached": True})
+                return self.spark.read.parquet(data_dir)
+            # stale: config changed or an upstream stage was rebuilt
+            shutil.rmtree(data_dir, ignore_errors=True)
+            if os.path.exists(man_path):
+                os.remove(man_path)
+        df = build()
+        df.write.mode("overwrite").parquet(data_dir)
+        out = self.spark.read.parquet(data_dir)
+        rows = out.count()
+        build_id = uuid.uuid4().hex
+        man = {
+            "stage": stage,
+            "build_id": build_id,
+            "config_hash": self.cfg_hash,
+            "config": self.cfg.to_dict(),
+            "inputs": input_stages,
+            "input_ids": expected_inputs,
+            "rows": rows,
+            "partitions": out.rdd.getNumPartitions(),
+            "wall_ms": int((time.monotonic() - t0) * 1000),
+            "cached": False,
+        }
+        with open(man_path, "w") as f:
+            json.dump(man, f, indent=1)
+        self.build_ids[stage] = build_id
+        self.metrics.append(man)
+        return out
+
+
+def run_pipeline(
+    spark: SparkSession,
+    files: DataFrame,
+    cfg: DedupConfig | None = None,
+    checkpoint_dir: str | None = None,
+    passes: tuple[str, ...] = ALL_PASSES,
+) -> PipelineResult:
+    """files(repo,path,commit,lang,content) -> PipelineResult.
+
+    checkpoint_dir=None runs fully lazy/in-memory (tests); a path makes every
+    stage an idempotent parquet checkpoint (resumable, north_rule).
+    """
+    cfg = cfg or DedupConfig()
+    ck = _Checkpointer(spark, checkpoint_dir, cfg)
+
+    normalized = ck.run(
+        "normalized", lambda: exact_dedup.ingest_normalize(files, cfg), []
+    )
+    if checkpoint_dir is None:
+        normalized = normalized.persist()
+
+    groups = exact_dedup.exact_groups(normalized)
+    ex_edges = ck.run(
+        "exact_edges",
+        lambda: exact_dedup.exact_edges(normalized, groups),
+        ["normalized"],
+    )
+    reps = exact_dedup.representatives(normalized, groups)
+
+    shingled = ck.run(
+        "shingles",
+        lambda: minhash_lsh.add_shingles(reps, cfg),
+        ["normalized"],
+    )
+    if checkpoint_dir is None:
+        shingled = shingled.persist()
+
+    cand_parts: list[DataFrame] = []
+    if "minhash" in passes:
+        sigs = ck.run(
+            "minhash_sigs",
+            lambda: minhash_lsh.minhash_signatures(shingled, cfg),
+            ["shingles"],
+        )
+        cand_parts.append(
+            ck.run(
+                "cand_minhash",
+                lambda: minhash_lsh.candidate_pairs(
+                    minhash_lsh.lsh_bands(sigs, cfg), cfg
+                ),
+                ["minhash_sigs"],
+            )
+        )
+    if "simhash" in passes:
+        sims = ck.run(
+            "simhash_sigs",
+            lambda: simhash_op.simhash_signatures(shingled, cfg),
+            ["shingles"],
+        )
+        cand_parts.append(
+            ck.run(
+                "cand_simhash",
+                lambda: simhash_op.candidate_pairs(sims, cfg),
+                ["simhash_sigs"],
+            )
+        )
+    lined = None
+    if "substring" in passes:
+        lined = substring.line_hash_sets(
+            exact_dedup.representatives(normalized, groups)
+        )
+        if checkpoint_dir is None:
+            lined = lined.persist()
+        cand_parts.append(
+            ck.run(
+                "cand_substring",
+                lambda: substring.candidate_pairs(lined, cfg),
+                ["normalized"],
+            )
+        )
+
+    if not cand_parts:
+        raise ValueError("at least one pass required")
+    candidates = cand_parts[0]
+    for p in cand_parts[1:]:
+        candidates = candidates.unionByName(p)
+
+    # verify each (a,b) once; candidate provenance kept as a joined-back method
+    sim_cands = (
+        candidates.where(F.col("method") != "substring")
+        .groupBy("a_id", "b_id")
+        .agg(F.min("method").alias("method"))
+    )
+    ver_parts = [verify.verify_jaccard(sim_cands, shingled, cfg)]
+    if lined is not None:
+        sub_cands = candidates.where(F.col("method") == "substring").select(
+            "a_id", "b_id", "method"
+        )
+        ver_parts.append(substring.verify_containment(sub_cands, lined, cfg))
+    verified = ver_parts[0]
+    for p in ver_parts[1:]:
+        verified = verified.unionByName(p)
+    verified = ck.run(
+        "verified",
+        lambda: verified,
+        ["shingles"] + (["cand_substring"] if lined is not None else []),
+    )
+
+    edges = verified.select(
+        F.col("a_id").alias("src"), F.col("b_id").alias("dst")
+    ).unionByName(ex_edges)
+
+    def _build_clusters() -> DataFrame:
+        assign = cc.connected_components(edges)
+        all_ids = normalized.select("file_id").distinct()
+        return all_ids.join(assign, "file_id", "left").select(
+            "file_id",
+            F.coalesce("cluster_id", "file_id").alias("cluster_id"),
+        )
+
+    clusters = ck.run("clusters", _build_clusters, ["verified", "exact_edges"])
+
+    return PipelineResult(
+        clusters=clusters,
+        verified=verified,
+        candidates=candidates,
+        normalized=normalized,
+        metrics=ck.metrics,
+    )

@@ -1,0 +1,165 @@
+"""MinHash/SimHash: batch impls vs independent per-row oracles + properties."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from microdeduplication_spark.functions.hashing import (
+    minhash_batch,
+    perm_masks,
+    simhash_batch,
+    splitmix64,
+)
+
+U64 = np.uint64
+
+
+def _splitmix64_scalar(x: int) -> int:
+    """Independent scalar splitmix64 finalizer (Python ints, masked to 64 bits)."""
+    M = (1 << 64) - 1
+    z = x & M
+    z ^= z >> 30
+    z = (z * 0xBF58476D1CE4E5B9) & M
+    z ^= z >> 27
+    z = (z * 0x94D049BB133111EB) & M
+    z ^= z >> 31
+    return z
+
+
+def _minhash_row_oracle(shingles: list[int], masks: np.ndarray) -> list[int]:
+    out = []
+    for m in masks.tolist():
+        best = min(_splitmix64_scalar((s & ((1 << 64) - 1)) ^ m) for s in shingles)
+        out.append(best - (1 << 64) if best >= (1 << 63) else best)  # int64 view
+    return out
+
+
+def _simhash_row_oracle(shingles: list[int]) -> int:
+    M = (1 << 64) - 1
+    mixed = [_splitmix64_scalar((s & M) ^ 0xA076_1D64_78BD_642F) for s in shingles]
+    bits = 0
+    for j in range(64):
+        ones = sum((h >> j) & 1 for h in mixed)
+        if 2 * ones > len(mixed):
+            bits |= 1 << j
+    return bits - (1 << 64) if bits >= (1 << 63) else bits
+
+
+def test_splitmix64_matches_scalar():
+    rng = np.random.default_rng(7)
+    xs = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    got = splitmix64(xs)
+    for x, g in zip(xs.tolist(), got.tolist()):
+        assert g == _splitmix64_scalar(x)
+
+
+def test_minhash_matches_row_oracle():
+    rng = np.random.default_rng(3)
+    masks = perm_masks(16, seed=42)
+    rows = [
+        rng.integers(-(1 << 62), 1 << 62, size=int(n), dtype=np.int64)
+        for n in rng.integers(1, 50, size=20)
+    ]
+    rows.append(np.empty(0, dtype=np.int64))  # empty -> sentinel
+    got = minhash_batch(pd.Series(rows), masks)
+    for arr, sig in zip(rows, got):
+        if len(arr) == 0:
+            assert all(v == np.iinfo(np.int64).max for v in sig)
+        else:
+            assert list(sig) == _minhash_row_oracle(arr.tolist(), masks)
+
+
+def test_minhash_chunking_invariance():
+    """Signatures must not depend on how rows group into flat chunks."""
+    import microdeduplication_spark.functions.hashing as H
+
+    rng = np.random.default_rng(5)
+    masks = perm_masks(8, seed=42)
+    rows = [rng.integers(0, 1 << 62, size=200, dtype=np.int64) for _ in range(50)]
+    full = minhash_batch(pd.Series(rows), masks)
+    old = H._FLAT_CHUNK
+    try:
+        H._FLAT_CHUNK = 256  # force many tiny chunks, rows split across groups
+        small = minhash_batch(pd.Series(rows), masks)
+    finally:
+        H._FLAT_CHUNK = old
+    for a, b in zip(full, small):
+        assert list(a) == list(b)
+
+
+def test_simhash_matches_row_oracle():
+    rng = np.random.default_rng(11)
+    rows = [
+        rng.integers(-(1 << 62), 1 << 62, size=int(n), dtype=np.int64)
+        for n in rng.integers(1, 40, size=15)
+    ]
+    rows.append(np.empty(0, dtype=np.int64))
+    got = simhash_batch(pd.Series(rows))
+    for arr, sim in zip(rows, got):
+        if len(arr) == 0:
+            assert sim == 0
+        else:
+            assert int(sim) == _simhash_row_oracle(arr.tolist())
+
+
+def test_minhash_estimates_jaccard():
+    """Property: signature agreement ~= exact Jaccard (binomial CI)."""
+    rng = np.random.default_rng(13)
+    masks = perm_masks(256, seed=42)
+    base = rng.integers(0, 1 << 62, size=1000, dtype=np.int64)
+    for overlap in (0.9, 0.7, 0.5, 0.2):
+        keep = int(1000 * overlap)
+        other = np.concatenate(
+            [base[:keep], rng.integers(0, 1 << 62, size=1000 - keep, dtype=np.int64)]
+        )
+        exact = len(np.intersect1d(base, other)) / len(np.union1d(base, other))
+        sigs = minhash_batch(pd.Series([base, other]), masks)
+        est = float(np.mean(np.asarray(sigs[0]) == np.asarray(sigs[1])))
+        assert est == pytest.approx(exact, abs=0.09)
+
+
+def test_simhash_hamming_tracks_similarity():
+    """Near-identical sets -> tiny Hamming distance; disjoint sets -> ~32."""
+    rng = np.random.default_rng(17)
+    base = rng.integers(0, 1 << 62, size=2000, dtype=np.int64)
+    near = base.copy()
+    near[:20] = rng.integers(0, 1 << 62, size=20, dtype=np.int64)
+    far = rng.integers(0, 1 << 62, size=2000, dtype=np.int64)
+    s = simhash_batch(pd.Series([base, near, far]))
+    ham_near = bin((int(s[0]) ^ int(s[1])) & ((1 << 64) - 1)).count("1")
+    ham_far = bin((int(s[0]) ^ int(s[2])) & ((1 << 64) - 1)).count("1")
+    assert ham_near <= 6
+    assert 16 <= ham_far <= 48
+
+
+def test_spark_udfs_agree_with_batch(spark, cfg):
+    """The pandas_udfs (Arrow path) produce the same values as direct numpy."""
+    from pyspark.sql import functions as F
+
+    from microdeduplication_spark.functions.hashing import (
+        make_minhash_udf,
+        make_simhash_udf,
+    )
+
+    rng = np.random.default_rng(19)
+    rows = [rng.integers(-(1 << 62), 1 << 62, size=30, dtype=np.int64).tolist()
+            for _ in range(25)]
+    df = spark.createDataFrame(
+        [(i, r) for i, r in enumerate(rows)], ["i", "shingles"]
+    )
+    mh = make_minhash_udf(cfg.num_perms, cfg.seed)
+    sh = make_simhash_udf()
+    got = {
+        r["i"]: (r["sig"], r["sim"])
+        for r in df.select(
+            "i", mh("shingles").alias("sig"), sh("shingles").alias("sim")
+        ).collect()
+    }
+    masks = perm_masks(cfg.num_perms, cfg.seed)
+    want_sigs = minhash_batch(pd.Series([np.array(r, np.int64) for r in rows]), masks)
+    want_sims = simhash_batch(pd.Series([np.array(r, np.int64) for r in rows]))
+    for i, r in enumerate(rows):
+        assert list(got[i][0]) == list(want_sigs[i])
+        assert got[i][1] == int(want_sims[i])
