@@ -1,0 +1,126 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS]; prints exactly ONE JSON line to stdout.
+
+Headline components:
+- dedup_e2e: full pipeline (normalize -> sha -> MinHash-LSH + SimHash +
+  substring -> verify -> connected components) on a deterministic files
+  corpus sized by sf (cached parquet under .bench_cache/); the BASELINE.json
+  metric `files/sec` = n_files / dedup_e2e seconds.
+- representative queries() entries at the sf dir (documents/embeddings/TPC-H
+  tables): each timed to first full materialization (count()).
+
+Scaling-efficiency evidence (N vs 4N): tools/scaling_bench.py runs this
+pipeline at two parallelism levels and appends to BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.1
+
+
+def ensure_bench_corpus(sf: float, seed: int = 42) -> str:
+    """Generate (once) and cache the files corpus parquet for this sf."""
+    import pandas as pd
+
+    n_files = max(500, int(50000 * sf))
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache",
+        f"files_sf{sf}_seed{seed}.parquet",
+    )
+    if not os.path.exists(cache):
+        from microdeduplication_spark.bench_corpus import make_bench_files
+
+        os.makedirs(os.path.dirname(cache), exist_ok=True)
+        t0 = time.monotonic()
+        pdf = make_bench_files(n_files, seed=seed)
+        pdf.to_parquet(cache, index=False)
+        log(f"bench corpus generated: {n_files} files in "
+            f"{time.monotonic() - t0:.1f}s -> {cache}")
+    return cache
+
+
+def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
+        skip_queries: bool = False) -> dict:
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.pipeline import run_pipeline
+    from microdeduplication_spark.session import build_session
+    from microdeduplication_spark.sources.files_source import read_files
+
+    sf = _sf_of(sf_dir)
+    corpus_path = ensure_bench_corpus(sf)
+    spark = build_session(
+        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8)
+    )
+    try:
+        timings: dict[str, float] = {}
+
+        files = read_files(spark, parquet_path=corpus_path)
+        n_files = files.count()
+        t0 = time.monotonic()
+        res = run_pipeline(spark, files, DedupConfig(), passes=passes)
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        dedup_sec = time.monotonic() - t0
+        timings["dedup_e2e"] = round(dedup_sec, 3)
+        log(f"dedup_e2e: {n_files} files, {n_clusters} clusters, "
+            f"{dedup_sec:.1f}s -> {n_files / dedup_sec:.0f} files/sec")
+
+        if not skip_queries:
+            import __spark_entry__ as em
+
+            headline = [
+                "minhash_lsh_pairs",
+                "exact_dedup_clusters",
+                "simhash_hamming_pairs",
+                "snm_window_pairs",
+                "quality_scores",
+                "cosine_similar_pairs",
+                "pricing_summary",
+                "revenue_by_mktsegment",
+                "user_sessions",
+            ]
+            qs = em.queries()
+            for name in headline:
+                t0 = time.monotonic()
+                n = qs[name](spark, sf_dir).count()
+                timings[name] = round(time.monotonic() - t0, 3)
+                log(f"{name}: {n} rows in {timings[name]}s")
+
+        return {
+            "metric": "dedup_e2e_files_per_sec",
+            "value": round(n_files / dedup_sec, 1),
+            "unit": "files/sec",
+            "queries": timings,
+            "sf": sf,
+            "n_files": n_files,
+            "n_clusters": n_clusters,
+            "cpus": cpus,
+        }
+    finally:
+        spark.stop()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    out = run(sf_dir, cpus)
+    print(json.dumps(out), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -86,13 +86,13 @@ def lang_id(col: Column) -> Column:
     """Heuristic language ID: language with the highest marker-word hit count;
     'und' (undetermined) when no markers hit."""
     toks = word_tokens_lower(col)
-    scores = [
-        (
-            lang,
-            F.size(F.filter(toks, lambda t, m=markers: t.isin(*m))),
-        )
-        for lang, markers in LANG_MARKERS.items()
-    ]
+
+    def _hits(markers: list[str]) -> Column:
+        # closure factory: F.filter treats a 2-arg lambda as (element, index),
+        # so the marker list must be bound outside the lambda signature
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    scores = [(lang, _hits(markers)) for lang, markers in LANG_MARKERS.items()]
     best = F.greatest(*[s for _, s in scores])
     expr = F.lit("und")
     # reversed so that on ties the FIRST language in LANG_MARKERS order wins

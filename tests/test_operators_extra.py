@@ -1,0 +1,165 @@
+"""Unit tests: SNM windowing, textstats, similarity search, multimodal."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.functions import textstats as ts
+from microdeduplication_spark.functions.vectors import cosine
+from microdeduplication_spark.operators.snm import snm_candidate_pairs
+
+
+def test_snm_pairs_match_bruteforce(spark):
+    """SNM window pairs == positions within w-1 of each other in sort order."""
+    rows = [(i, k) for i, k in enumerate([5, 3, 9, 3, 7, 1, 9, 2])]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    w = 3
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in snm_candidate_pairs(df, "key", "id", window=w).collect()
+    }
+    order = [i for i, k in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = set()
+    for pos in range(len(order)):
+        for off in range(1, w):
+            if pos + off < len(order):
+                a, b = order[pos], order[pos + off]
+                want.add((min(a, b), max(a, b)))
+    assert got == want
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [("hello world, it's 42!",), ("",), ("one",)], ["text"]
+    )
+    got = df.select(
+        ts.whitespace_token_count(F.col("text")).alias("ws"),
+        ts.bpe_ish_token_count(F.col("text")).alias("bpe"),
+    ).collect()
+    assert [r["ws"] for r in got] == [4, 0, 1]
+    # hello/world/,/it/'/s/42/! = 8 subword pieces
+    assert got[0]["bpe"] == 8
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog is in the house",),
+            ("der hund und die katze ist nicht hier",),
+            ("xyzzy qwerty 123",),
+        ],
+        ["text"],
+    )
+    got = [r["g"] for r in df.select(ts.lang_id(F.col("text")).alias("g")).collect()]
+    assert got == ["en", "de", "und"]
+
+
+def test_quality_score_range(spark, corpus):
+    df = spark.createDataFrame(corpus.files.head(50)[["content"]])
+    got = df.select(ts.quality_score(F.col("content")).alias("q")).collect()
+    assert all(0.0 <= r["q"] <= 1.0 for r in got)
+
+
+def test_cosine_matches_numpy(spark):
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal(16).astype(np.float32)
+    b = rng.standard_normal(16).astype(np.float32)
+    df = spark.createDataFrame([(a.tolist(), b.tolist())], ["a", "b"])
+    got = df.select(cosine(F.col("a"), F.col("b")).alias("c")).collect()[0]["c"]
+    want = float(
+        np.dot(a.astype(np.float64), b.astype(np.float64))
+        / (np.linalg.norm(a.astype(np.float64)) * np.linalg.norm(b.astype(np.float64)))
+    )
+    assert got == pytest.approx(want, abs=1e-9)
+
+
+def test_brute_force_topk_ranks(spark):
+    from microdeduplication_spark.operators.similarity_search import (
+        brute_force_topk,
+    )
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [-1.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    q = emb.where(F.col("vec_id") == 0)
+    got = {
+        r["rank"]: r["n_id"]
+        for r in brute_force_topk(emb, q, k=3).collect()
+    }
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_srp_recall_on_near_duplicate_vectors(spark):
+    """SRP bucketing must find truly-near (cos>=0.99) vector pairs."""
+    from microdeduplication_spark.operators.similarity_search import (
+        srp_bucket_pairs,
+    )
+
+    rng = np.random.default_rng(9)
+    base = rng.standard_normal((30, 32)).astype(np.float32)
+    rows = []
+    truth = set()
+    vid = 0
+    for v in base:
+        rows.append((vid, v.tolist()))
+        dup = v + rng.standard_normal(32).astype(np.float32) * 0.01
+        rows.append((vid + 1, dup.tolist()))
+        truth.add((vid, vid + 1))
+        vid += 2
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in srp_bucket_pairs(
+            emb, dim=32, n_planes=8, n_tables=8, threshold=0.99
+        ).collect()
+    }
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, (recall, len(got))
+
+
+def test_multimodal_features_and_dedup(spark):
+    from microdeduplication_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        media_exact_dedup,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=30, seed=1)
+    feats = extract_features(media, dim=8).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == 8 for r in feats)
+    # determinism: same payload -> same features
+    by_sha = {}
+    for r in feats:
+        if r["payload_sha256"] in by_sha:
+            assert by_sha[r["payload_sha256"]] == r["features"]
+        by_sha[r["payload_sha256"]] = r["features"]
+
+    groups = media_exact_dedup(media)
+    assert groups.agg(F.sum("group_size")).collect()[0][0] == 30
+    assert groups.where(F.col("group_size") > 1).count() >= 1
+
+    frames = frame_sample_plan(media, every_ms=5000)
+    assert frames.count() > 0
+
+
+def test_multimodal_stub_raises_without_fake(spark):
+    from microdeduplication_spark.operators.multimodal import (
+        extract_features,
+        synth_media,
+    )
+    from py4j.protocol import Py4JJavaError
+
+    media = synth_media(spark, n=4, seed=2)
+    with pytest.raises(Exception) as ei:
+        extract_features(media, dim=4, deterministic_fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)

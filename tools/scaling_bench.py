@@ -1,0 +1,91 @@
+"""Scaling-efficiency evidence: same job, same input, N vs 4N cores.
+
+BASELINE.json's north_rule requires throughput scaling efficiency >= 0.8
+from N to 4N executors; no real cluster exists in this sandbox, so (per
+BASELINE.md) the two cluster sizes are evidenced as two local[] parallelism
+levels on identical input. Each level runs in a fresh subprocess (fresh JVM:
+no warm-cache bleed between levels).
+
+Usage: PYTHONPATH=/root/repo python tools/scaling_bench.py [N] [sf_dir]
+Appends a results table to BENCH/BASELINE.md and prints a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_level(cpus: int, sf_dir: str) -> dict:
+    """One bench pipeline run in a fresh interpreter/JVM."""
+    code = (
+        "import json, sys; sys.path.insert(0, %r); import bench; "
+        "print('RESULT ' + json.dumps(bench.run(%r, %d, skip_queries=True)))"
+        % (REPO, sf_dir, cpus)
+    )
+    t0 = time.monotonic()
+    p = subprocess.run(
+        [sys.executable, "-c", code],
+        capture_output=True, text=True, cwd=REPO, timeout=3600,
+    )
+    if p.returncode != 0:
+        raise RuntimeError(f"level {cpus} failed:\n{p.stderr[-3000:]}")
+    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
+    out = json.loads(line[len("RESULT "):])
+    out["total_wall_sec"] = round(time.monotonic() - t0, 1)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
+    )
+    # warm the corpus cache once so neither level pays generation cost
+    sys.path.insert(0, REPO)
+    import bench
+
+    bench.ensure_bench_corpus(bench._sf_of(sf_dir))
+
+    lo = run_level(n, sf_dir)
+    hi = run_level(4 * n, sf_dir)
+    tp_lo, tp_hi = lo["value"], hi["value"]
+    eff = (tp_hi / tp_lo) / 4.0
+    summary = {
+        "sf": lo["sf"], "n_files": lo["n_files"],
+        "cores_n": n, "files_per_sec_n": tp_lo,
+        "cores_4n": 4 * n, "files_per_sec_4n": tp_hi,
+        "speedup": round(tp_hi / tp_lo, 3),
+        "scaling_efficiency": round(eff, 3),
+    }
+    print(json.dumps(summary))
+
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    os.makedirs(os.path.dirname(md), exist_ok=True)
+    header_needed = not os.path.exists(md)
+    with open(md, "a") as f:
+        if header_needed:
+            f.write(
+                "# BENCH — measured numbers\n\n"
+                "Scaling-efficiency evidence per BASELINE.md: identical job "
+                "and input at two local parallelism levels (fresh JVM each); "
+                "efficiency = (throughput_4N / throughput_N) / 4.\n\n"
+                "| date | sf | files | cores N | files/s @N | cores 4N | "
+                "files/s @4N | speedup | efficiency |\n"
+                "|---|---|---|---|---|---|---|---|---|\n"
+            )
+        f.write(
+            f"| {time.strftime('%Y-%m-%d %H:%M')} | {summary['sf']} "
+            f"| {summary['n_files']} | {n} | {tp_lo} | {4 * n} | {tp_hi} "
+            f"| {summary['speedup']}x | {summary['scaling_efficiency']} |\n"
+        )
+    print(f"appended to {md}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
