@@ -1,0 +1,63 @@
+"""Structured Streaming ingest: idempotent sink + stateful dup counting."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.streaming.incremental import (
+    stream_ingest,
+    streaming_dup_counter,
+)
+
+
+def _write_batch(spark, path, rows):
+    spark.createDataFrame(
+        rows, ["repo", "path", "commit", "lang", "content"]
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def test_stream_ingest_idempotent_sink(spark, cfg, tmp_path):
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(spark, src, [("r", "a.py", "c1", "python", "x = 1"),
+                              ("r", "b.py", "c2", "python", "x = 1")])
+    q = stream_ingest(spark, src, sink, cfg, ck)
+    try:
+        q.processAllAvailable()
+        first = spark.read.parquet(sink)
+        assert first.count() == 2
+        # second drop includes one repeat (same natural key) + one new file
+        _write_batch(spark, src, [("r", "a.py", "c1", "python", "x = 1"),
+                                  ("r", "c.py", "c3", "python", "y = 2")])
+        q.processAllAvailable()
+        out = spark.read.parquet(sink)
+        assert out.count() == 3  # repeat suppressed by file_id anti-join
+        assert out.select("file_id").distinct().count() == 3
+        assert set(out.columns) >= {"file_id", "content_sha256", "norm_sha"}
+    finally:
+        q.stop()
+
+
+def test_streaming_dup_counter(spark, cfg, tmp_path):
+    src = str(tmp_path / "in2")
+    _write_batch(
+        spark,
+        src,
+        [
+            ("r", "a.py", "c1", "python", "same body"),
+            ("r", "b.py", "c2", "python", "same body"),
+            ("r", "c.py", "c3", "python", "other body"),
+        ],
+    )
+    q = streaming_dup_counter(spark, src, cfg)
+    try:
+        q.processAllAvailable()
+        counts = {
+            r["n"] for r in spark.sql("SELECT n FROM dup_counts").collect()
+        }
+        assert counts == {2, 1}
+    finally:
+        q.stop()
