@@ -38,7 +38,11 @@ _SUBWORD = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # the test tables are single parquet files (one input split); spread the
+    # CPU-heavy text work across cores (real Iceberg input arrives pre-split)
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -84,16 +88,17 @@ def q_dedup_stats_by_lang(spark, sf_dir) -> DataFrame:
 
 
 def _doc_ngrams(d: DataFrame, k: int = 3) -> DataFrame:
+    # tokens materialize in their own projection before the n-gram transform
+    # references them (shingle_hashes' performance contract applies here too)
     toks = F.regexp_extract_all(F.col("text"), F.lit(_TOK), 0)
+    t = d.select("doc_id", toks.alias("toks")).where(F.size("toks") >= k)
     grams = F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.size(toks) - F.lit(k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, k)),
+            F.sequence(F.lit(1), F.size("toks") - F.lit(k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(F.col("toks"), i, k)),
         )
     )
-    return d.where(F.size(toks) >= k).select(
-        F.col("doc_id"), grams.alias("g")
-    )
+    return t.select("doc_id", grams.alias("g"))
 
 
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
@@ -142,8 +147,12 @@ def q_snm_window_pairs(spark, sf_dir) -> DataFrame:
 
 def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
     """Rolling xxhash64 fingerprint (rows-only: DuckDB lacks xxhash64)."""
-    return _docs(spark, sf_dir).select(
-        "doc_id", ts.rolling_fingerprint(F.col("text")).alias("fingerprint")
+    return (
+        _docs(spark, sf_dir)
+        .select("doc_id", ts.word_tokens_lower(F.col("text")).alias("toks"))
+        .select(
+            "doc_id", ts.rolling_fingerprint(F.col("toks")).alias("fingerprint")
+        )
     )
 
 
@@ -330,6 +339,59 @@ def q_user_sessions(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_entity_formation(spark, sf_dir) -> DataFrame:
+    """Reference entityformation semantics (SURVEY.md P1-P3): build messy
+    11-field `<...>;<...>` product lines from `part`, then parse them back
+    with clear_line + coercion; the oracle computes the expected typed rows
+    directly, so the parse/cleanup logic itself is what gets checked."""
+    from microdeduplication_spark.operators.entity_formation import (
+        parse_product_lines,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    price_str = F.regexp_replace(
+        F.format_string("%.2f", F.col("p_retailprice")), r"\.", ","
+    )
+    line = F.format_string(
+        "<%s>;<%s@et>;<sku%s>;<%s>;<>;<>;<EUR %s>;<EUR>;<InStock>;"
+        "<shop.example.ee>;<20160101120000>",
+        F.col("p_partkey"), F.col("p_name"), F.col("p_partkey"),
+        F.col("p_type"), price_str,
+    )
+    parsed = parse_product_lines(p.select(line.alias("value")))
+    return parsed.select("id", "name", "sku", "price", "currency", "provider")
+
+
+def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
+    """Full reference-semantics SNM product dedup (rows-only: the window +
+    tf-cosine predicate chain is pinned by the brute-force oracle in
+    tests/test_reference_parity.py instead of SQL)."""
+    from microdeduplication_spark.operators.entity_formation import (
+        parse_product_lines,
+        validity_filter,
+    )
+    from microdeduplication_spark.operators.reference_dedup import snm_dedup
+
+    p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
+    line = F.format_string(
+        "<%s>;<%s>;<sku%s>;<%s>;<>;<>;<%.2f>;<EUR>;<InStock>;"
+        "<shop.example.ee>;<t>",
+        F.col("p_partkey"), F.col("p_name"), F.col("p_partkey"),
+        F.col("p_type"), F.col("p_retailprice"),
+    )
+    dup_line = F.format_string(  # planted equals-duplicates (same name+price)
+        "<%s>;<%s>;<>;<>;<>;<>;<%.2f>;<EUR>;<>;<shop.example.ee>;<t>",
+        F.col("p_partkey") + F.lit(1000000), F.col("p_name"),
+        F.col("p_retailprice"),
+    )
+    lines = p.select(line.alias("value")).unionByName(
+        p.where(F.col("p_partkey") % 3 == 0).select(dup_line.alias("value"))
+    )
+    products = validity_filter(parse_product_lines(lines))
+    _, clusters = snm_dedup(products, window=3)
+    return clusters
+
+
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal plumbing (rows-only): synth media -> mapInPandas features."""
     from microdeduplication_spark.operators.multimodal import (
@@ -388,6 +450,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_parts_per_brand": q_top_parts_per_brand,
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
+        "entity_formation": q_entity_formation,
+        "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
     }
 
@@ -577,6 +641,14 @@ def oracle_sql() -> dict[str, str]:
                    sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
                      AS sum_k
             FROM events GROUP BY event_type
+        """,
+        "entity_formation": """
+            SELECT p_partkey AS id, p_name AS name,
+                   'sku' || p_partkey AS sku,
+                   round(p_retailprice, 2) AS price,
+                   'EUR' AS currency,
+                   'shop.example.ee' AS provider
+            FROM part
         """,
         "user_sessions": """
             WITH g AS (

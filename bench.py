@@ -70,10 +70,16 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
     try:
         timings: dict[str, float] = {}
 
-        files = read_files(spark, parquet_path=corpus_path)
+        # the cached corpus is one parquet file (one input split); real Iceberg
+        # input arrives in many splits, so spread it across the cores here
+        files = read_files(spark, parquet_path=corpus_path).repartition(cpus * 2)
         n_files = files.count()
         t0 = time.monotonic()
-        res = run_pipeline(spark, files, DedupConfig(), passes=passes)
+        # eager_metrics: persist+materialize each stage once (matches the
+        # checkpointed production profile; lazy mode would recompute shared
+        # lineage across the three blocking passes)
+        res = run_pipeline(spark, files, DedupConfig(), passes=passes,
+                           eager_metrics=True)
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         dedup_sec = time.monotonic() - t0
         timings["dedup_e2e"] = round(dedup_sec, 3)

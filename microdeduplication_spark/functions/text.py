@@ -64,6 +64,12 @@ def shingle_hashes(tok: Column, k: int) -> Column:
     xxhash64. Files shorter than k tokens hash their full token list as one
     shingle so that short files still participate in MinHash.
     Mirrors shingles_py (modulo hashing, which cannot collide materially).
+
+    PERFORMANCE CONTRACT: `tok` MUST be a materialized column reference (a
+    prior .select alias), never an inline expression like tokens(normalize(
+    col)) -- the transform lambda below references `tok` once per shingle,
+    and Catalyst re-evaluates a non-attribute argument on every lambda
+    invocation, turning an O(n) shingle pass into O(n^2) regex work.
     """
     n = F.size(tok)
     full = F.transform(

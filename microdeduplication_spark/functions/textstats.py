@@ -101,11 +101,15 @@ def lang_id(col: Column) -> Column:
     return expr
 
 
-def rolling_fingerprint(col: Column, window: int = 4) -> Column:
+def rolling_fingerprint(toks: Column, window: int = 4) -> Column:
     """Document fingerprint: xor of xxhash64 over each `window`-token shingle
-    of the lowercase word stream (order-sensitive rolling hash). Stable under
-    whitespace changes, sensitive to word order."""
-    toks = word_tokens_lower(col)
+    of the word stream (order-sensitive rolling hash). Stable under
+    whitespace changes, sensitive to word order.
+
+    `toks` must be a MATERIALIZED token-array column (word_tokens_lower
+    aliased in a prior select) -- the transform lambda references it per
+    window, and an inline expression would be re-evaluated per element
+    (see functions/text.py shingle_hashes performance contract)."""
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0))),

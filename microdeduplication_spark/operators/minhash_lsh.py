@@ -40,10 +40,14 @@ def add_shingles(reps: DataFrame, cfg: DedupConfig) -> DataFrame:
     Pure Catalyst higher-order functions (whole-stage codegen); the content
     string is dropped immediately after -- downstream stages ship only hashes.
     """
+    # two-step select: tokens materialize as a real column before the shingle
+    # transform references them (see shingle_hashes' performance contract)
     return reps.select(
+        "file_id", "lang", tokens(F.col("content_norm")).alias("toks")
+    ).select(
         "file_id",
         "lang",
-        shingle_hashes(tokens(F.col("content_norm")), cfg.shingle_k).alias("shingles"),
+        shingle_hashes(F.col("toks"), cfg.shingle_k).alias("shingles"),
     )
 
 
@@ -83,6 +87,10 @@ def banded_self_join(
     bands: DataFrame, cfg: DedupConfig, method: str
 ) -> DataFrame:
     key = ["band_idx", "band_hash"]
+    # the band table feeds 4 branches (sizes, both join sides, hot-bucket
+    # star pass); persist so the upstream signature UDFs run exactly once
+    # (production runs checkpoint this table instead -- pipeline.py)
+    bands = bands.persist()
     sizes = bands.groupBy(*key).agg(F.count("*").alias("bucket_n"))
     active = bands.join(
         sizes.where(

@@ -56,6 +56,7 @@ def simhash_bands(sims: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 def candidate_pairs(sims: DataFrame, cfg: DedupConfig) -> DataFrame:
     """Block-bucket self-join + exact Hamming filter -> (a_id,b_id,method)."""
+    sims = sims.persist()  # consumed by bands + both rescore join sides
     bands = simhash_bands(sims, cfg)
     cands = banded_self_join(bands, cfg, method="simhash")
     a_sim = sims.select(F.col("file_id").alias("a_id"), F.col("sim").alias("a_sim"))

@@ -58,9 +58,11 @@ class PipelineResult:
 class _Checkpointer:
     """Per-stage parquet checkpoints with config-hashed manifests."""
 
-    def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig):
+    def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig,
+                 eager: bool = False):
         self.spark = spark
         self.root = root
+        self.eager = eager  # in-memory mode: persist+count+time each stage
         # stable across processes (Python's builtin str hash is seeded per run)
         self.cfg_hash = hashlib.sha256(
             json.dumps(cfg.to_dict(), sort_keys=True).encode()
@@ -83,10 +85,19 @@ class _Checkpointer:
         t0 = time.monotonic()
         if self.root is None:
             df = build()
-            self.metrics.append(
-                {"stage": stage, "cached": False, "wall_ms": None,
-                 "inputs": input_stages}
-            )
+            if self.eager:
+                df = df.persist()
+                rows = df.count()
+                self.metrics.append(
+                    {"stage": stage, "cached": False, "rows": rows,
+                     "wall_ms": int((time.monotonic() - t0) * 1000),
+                     "inputs": input_stages}
+                )
+            else:
+                self.metrics.append(
+                    {"stage": stage, "cached": False, "wall_ms": None,
+                     "inputs": input_stages}
+                )
             return df
         data_dir, man_path = self._paths(stage)
         expected_inputs = {s: self.build_ids.get(s) for s in input_stages}
@@ -134,14 +145,16 @@ def run_pipeline(
     cfg: DedupConfig | None = None,
     checkpoint_dir: str | None = None,
     passes: tuple[str, ...] = ALL_PASSES,
+    eager_metrics: bool = False,
 ) -> PipelineResult:
     """files(repo,path,commit,lang,content) -> PipelineResult.
 
     checkpoint_dir=None runs fully lazy/in-memory (tests); a path makes every
     stage an idempotent parquet checkpoint (resumable, north_rule).
+    eager_metrics materializes + times every in-memory stage (profiling).
     """
     cfg = cfg or DedupConfig()
-    ck = _Checkpointer(spark, checkpoint_dir, cfg)
+    ck = _Checkpointer(spark, checkpoint_dir, cfg, eager=eager_metrics)
 
     normalized = ck.run(
         "normalized", lambda: exact_dedup.ingest_normalize(files, cfg), []

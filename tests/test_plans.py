@@ -1,0 +1,107 @@
+"""Physical-plan assertions: pushdown, broadcast, partial agg, codegen.
+
+The 100 TB story depends on plan shape, not just results (SURVEY.md §4):
+filters must reach the parquet scan, dim joins must broadcast, aggregations
+must have a map-side partial step, and the string pipeline must stay inside
+WholeStageCodegen. These tests pin those properties so a regression in plan
+shape fails CI even while results stay correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.where(F.col("l_shipdate") <= "1995-01-01").select(
+        "l_orderkey", "l_quantity"
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan
+    assert "l_shipdate" in plan.split("PushedFilters")[1].split("]")[0]
+
+
+def test_column_pruning_reaches_scan(spark):
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    df = li.select("l_orderkey", "l_quantity")
+    plan = _plan(df)
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_orderkey" in read_schema and "l_quantity" in read_schema
+    assert "l_comment" not in read_schema  # untouched wide column pruned
+
+
+def test_dim_join_broadcasts(spark):
+    import __spark_entry__ as em
+
+    df = em.q_nation_region_counts(spark, SF_DIR)
+    plan = _plan(df)
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_groupby_has_partial_aggregate(spark):
+    import __spark_entry__ as em
+
+    df = em.q_pricing_summary(spark, SF_DIR)
+    plan = _plan(df)
+    # two HashAggregate nodes = partial (map-side) + final
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_lsh_band_join_is_hash_join_not_nested_loop(spark, cfg):
+    """The LSH self-join must be an equi hash/sort-merge join; a nested-loop
+    join here would be the O(n^2) disaster the banding exists to avoid."""
+    from microdeduplication_spark.operators import exact_dedup, minhash_lsh
+
+    files = spark.createDataFrame(
+        [("r", f"f{i}", "c", "py", f"a b c d e f g {i}") for i in range(30)],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    norm = exact_dedup.ingest_normalize(files, cfg)
+    groups = exact_dedup.exact_groups(norm)
+    reps = exact_dedup.representatives(norm, groups)
+    sh = minhash_lsh.add_shingles(reps, cfg)
+    sigs = minhash_lsh.minhash_signatures(sh, cfg)
+    cands = minhash_lsh.candidate_pairs(minhash_lsh.lsh_bands(sigs, cfg), cfg)
+    plan = _plan(cands)
+    assert "NestedLoop" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_normalize_stays_in_codegen(spark, cfg):
+    """Normalization + sha256 must be whole-stage-codegen'd JVM expressions,
+    not Python: the plan has codegen spans and no Python/Arrow eval nodes."""
+    from microdeduplication_spark.operators.exact_dedup import ingest_normalize
+
+    files = spark.createDataFrame(
+        [("r", "f", "c", "py", "x = 1")],
+        ["repo", "path", "commit", "lang", "content"],
+    )
+    plan = _plan(ingest_normalize(files, cfg))
+    # '*(n)' prefixes mark WholeStageCodegen spans in executedPlan.toString()
+    assert "*(1)" in plan
+    assert "PythonUDF" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_minhash_is_arrow_vectorized_not_row_python(spark, cfg):
+    """Signature UDFs must run as Arrow-vectorized eval, never row-Python."""
+    from microdeduplication_spark.functions.hashing import make_minhash_udf
+
+    df = spark.createDataFrame([(list(range(10)),)], ["shingles"])
+    mh = make_minhash_udf(cfg.num_perms, cfg.seed)
+    plan = _plan(df.select(mh("shingles").alias("sig")))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan  # row-at-a-time Python path
