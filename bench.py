@@ -37,19 +37,25 @@ def ensure_bench_corpus(sf: float, seed: int = 42) -> str:
     """Generate (once) and cache the files corpus parquet for this sf."""
     import pandas as pd
 
-    n_files = max(500, int(50000 * sf))
+    # sized so the e2e run is compute-bound: per-stage scheduling/AQE latency
+    # (~2-5s x ~10 stages) must be small against total wall for scaling
+    # efficiency to be measurable -- see BENCH/BASELINE.md
+    n_files = max(500, int(500000 * sf))
+    mean_lines = 150  # realistic source-file size (~8 KB)
     cache = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         ".bench_cache",
-        f"files_sf{sf}_seed{seed}.parquet",
+        f"files_sf{sf}_n{n_files}_l{mean_lines}_rg_seed{seed}.parquet",
     )
     if not os.path.exists(cache):
         from microdeduplication_spark.bench_corpus import make_bench_files
 
         os.makedirs(os.path.dirname(cache), exist_ok=True)
         t0 = time.monotonic()
-        pdf = make_bench_files(n_files, seed=seed)
-        pdf.to_parquet(cache, index=False)
+        pdf = make_bench_files(n_files, seed=seed, mean_lines=mean_lines)
+        # small row groups: parquet scans parallelize at row-group granularity;
+        # pandas' default (1M rows = one group) makes the scan single-threaded
+        pdf.to_parquet(cache, index=False, row_group_size=1024)
         log(f"bench corpus generated: {n_files} files in "
             f"{time.monotonic() - t0:.1f}s -> {cache}")
     return cache
@@ -64,22 +70,27 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
 
     sf = _sf_of(sf_dir)
     corpus_path = ensure_bench_corpus(sf)
+    # data layout (input splits + shuffle partitioning) is held CONSTANT
+    # across parallelism levels -- on a real cluster the table layout does
+    # not change when executors are added; only the thread count varies
+    n_parts = 64
     spark = build_session(
-        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=max(cpus, 8)
+        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=n_parts
     )
     try:
         timings: dict[str, float] = {}
 
         # the cached corpus is one parquet file (one input split); real Iceberg
         # input arrives in many splits, so spread it across the cores here
-        files = read_files(spark, parquet_path=corpus_path).repartition(cpus * 2)
+        files = read_files(spark, parquet_path=corpus_path).repartition(n_parts)
         n_files = files.count()
         t0 = time.monotonic()
-        # eager_metrics: persist+materialize each stage once (matches the
-        # checkpointed production profile; lazy mode would recompute shared
-        # lineage across the three blocking passes)
+        # eager "count": persist + materialize each stage before the next --
+        # measured FASTER than persist-only: without forced materialization,
+        # branches of one wide job race to populate the cache and recompute
+        # shared lineage (139s vs 87s at 8 cores, 20k files)
         res = run_pipeline(spark, files, DedupConfig(), passes=passes,
-                           eager_metrics=True)
+                           eager_metrics="count")
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         dedup_sec = time.monotonic() - t0
         timings["dedup_e2e"] = round(dedup_sec, 3)

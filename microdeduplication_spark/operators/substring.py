@@ -47,17 +47,15 @@ def window_fingerprints(lined: DataFrame, cfg: DedupConfig) -> DataFrame:
     """(file_id, band_idx=0, band_hash=fingerprint) one row per distinct window.
 
     Shaped like an LSH band table so banded_self_join is reusable verbatim.
+    Fingerprints computed in the Arrow/numpy path (functions/hashing.py
+    window_fp_batch): the Catalyst transform-lambda variant evaluates
+    interpreted per window and dominated the whole pipeline's wall time.
     """
-    w = cfg.substr_window
-    n = F.size("lines")
-    windows = F.transform(
-        F.sequence(F.lit(0), n - F.lit(w)),
-        lambda i: F.xxhash64(F.slice(F.col("lines"), i + F.lit(1), w)),
-    )
-    whole = F.array(F.xxhash64(F.col("lines")))
-    fps = F.array_distinct(F.when(n >= F.lit(w), windows).otherwise(whole))
+    from microdeduplication_spark.functions.hashing import make_window_fp_udf
+
+    fp = make_window_fp_udf(cfg.substr_window)
     return lined.select(
-        "file_id", F.explode(fps).alias("band_hash")
+        "file_id", F.explode(fp(F.col("lines"))).alias("band_hash")
     ).withColumn("band_idx", F.lit(0))
 
 

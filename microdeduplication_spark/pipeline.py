@@ -59,10 +59,12 @@ class _Checkpointer:
     """Per-stage parquet checkpoints with config-hashed manifests."""
 
     def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig,
-                 eager: bool = False):
+                 eager: bool | str = False):
         self.spark = spark
         self.root = root
-        self.eager = eager  # in-memory mode: persist+count+time each stage
+        # in-memory stage handling: False = fully lazy, "persist" / True =
+        # persist each stage (no extra action), "count" = persist+count+time
+        self.eager = eager
         # stable across processes (Python's builtin str hash is seeded per run)
         self.cfg_hash = hashlib.sha256(
             json.dumps(cfg.to_dict(), sort_keys=True).encode()
@@ -85,12 +87,21 @@ class _Checkpointer:
         t0 = time.monotonic()
         if self.root is None:
             df = build()
-            if self.eager:
+            if self.eager == "count":
+                # profiling mode: materialize + time each stage (serializes!)
                 df = df.persist()
                 rows = df.count()
                 self.metrics.append(
                     {"stage": stage, "cached": False, "rows": rows,
                      "wall_ms": int((time.monotonic() - t0) * 1000),
+                     "inputs": input_stages}
+                )
+            elif self.eager:
+                # throughput mode: persist so shared lineage computes once,
+                # but add no extra action -- the first consumer materializes
+                df = df.persist()
+                self.metrics.append(
+                    {"stage": stage, "cached": False, "wall_ms": None,
                      "inputs": input_stages}
                 )
             else:
@@ -145,7 +156,7 @@ def run_pipeline(
     cfg: DedupConfig | None = None,
     checkpoint_dir: str | None = None,
     passes: tuple[str, ...] = ALL_PASSES,
-    eager_metrics: bool = False,
+    eager_metrics: bool | str = False,
 ) -> PipelineResult:
     """files(repo,path,commit,lang,content) -> PipelineResult.
 

@@ -29,9 +29,12 @@ def _splitmix64_scalar(x: int) -> int:
 
 
 def _minhash_row_oracle(shingles: list[int], masks: np.ndarray) -> list[int]:
+    """h_i(x) = a_i * splitmix64(x) + b_i mod 2^64; sig_i = min over shingles."""
+    M = (1 << 64) - 1
+    mixed = [_splitmix64_scalar(s & M) for s in shingles]
     out = []
-    for m in masks.tolist():
-        best = min(_splitmix64_scalar((s & ((1 << 64) - 1)) ^ m) for s in shingles)
+    for a, b in zip(masks[0].tolist(), masks[1].tolist()):
+        best = min(((a * x) + b) & M for x in mixed)
         out.append(best - (1 << 64) if best >= (1 << 63) else best)  # int64 view
     return out
 
