@@ -308,6 +308,25 @@ def q_top_parts_per_brand(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_rollup_revenue(spark, sf_dir) -> DataFrame:
+    """ROLLUP aggregation (SURVEY.md §2.5 'absent in reference, used here'):
+    order counts + decimal revenue by (priority, status) with subtotals."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "n_orders",
+            "revenue",
+        )
+    )
+
+
 def q_events_by_type(spark, sf_dir) -> DataFrame:
     """JSON extraction + agg (events table)."""
     e = _t(spark, sf_dir, "events")
@@ -448,6 +467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "nation_region_counts": q_nation_region_counts,
         "orders_without_lineitems": q_orders_without_lineitems,
         "top_parts_per_brand": q_top_parts_per_brand,
+        "rollup_revenue": q_rollup_revenue,
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
         "entity_formation": q_entity_formation,
@@ -635,6 +655,14 @@ def oracle_sql() -> dict[str, str]:
               FROM part
             )
             SELECT p_brand, p_partkey, rank FROM r WHERE rank <= 2
+        """,
+        "rollup_revenue": """
+            SELECT coalesce(o_orderpriority, 'ALL') AS priority,
+                   coalesce(o_orderstatus, 'ALL') AS status,
+                   count(*) AS n_orders,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
