@@ -120,7 +120,14 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     """The production MinHash-LSH path on documents; with r=2/b=64 its output
     equals the brute-force oracle (q_ngram_jaccard_pairs' SQL twin)."""
     cfg = DOCS_CFG
-    d = _docs(spark, sf_dir).select(
+    d = _docs(spark, sf_dir).where(
+        # short-file rule shared with the DuckDB oracle: docs with fewer than
+        # shingle_k tokens have no k-shingle (the oracle drops them; without
+        # this filter add_shingles would give them a whole-token-list shingle
+        # and two near-identical 2-token docs would emit a Spark-only pair)
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOK), 0))
+        >= cfg.shingle_k
+    ).select(
         F.col("doc_id").alias("file_id"),
         F.lit("und").alias("lang"),
         normalize_content(F.col("text")).alias("content_norm"),
@@ -269,7 +276,13 @@ def q_revenue_by_mktsegment(spark, sf_dir) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            # exact decimal sum, pinned to double at the end: the driver's
+            # value hash stringifies cells, and str(Decimal('x.40')) !=
+            # str(float) -- both engines must emit the same dtype
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("revenue"),
         )
     )
 
@@ -291,8 +304,10 @@ def q_orders_without_lineitems(spark, sf_dir) -> DataFrame:
     """Anti-join (SURVEY.md §2.4 left_anti) -> scalar count."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
-    n = o.join(li, o.o_orderkey == li.l_orderkey, "left_anti").count()
-    return spark.createDataFrame([(n,)], ["n_orphan_orders"])
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_anti")
+        .agg(F.count("*").alias("n_orphan_orders"))
+    )
 
 
 def q_top_parts_per_brand(spark, sf_dir) -> DataFrame:
@@ -316,7 +331,10 @@ def q_rollup_revenue(spark, sf_dir) -> DataFrame:
         o.rollup("o_orderpriority", "o_orderstatus")
         .agg(
             F.count("*").alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double"), 2
+            ).alias("revenue"),
         )
         .select(
             F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
@@ -631,7 +649,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "revenue_by_mktsegment": """
             SELECT c_mktsegment, count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS revenue
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
@@ -660,14 +679,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT coalesce(o_orderpriority, 'ALL') AS priority,
                    coalesce(o_orderstatus, 'ALL') AS status,
                    count(*) AS n_orders,
-                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue
+                   round(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+                              AS DOUBLE), 2) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
         """,
         "events_by_type": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                     AS sum_k
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
             FROM events GROUP BY event_type
         """,
         "entity_formation": """
@@ -686,7 +706,7 @@ def oracle_sql() -> dict[str, str]:
                           THEN 1 ELSE 0 END AS new_sess
               FROM events
             )
-            SELECT user_id, sum(new_sess) + 1 AS n_sessions
+            SELECT user_id, CAST(sum(new_sess) + 1 AS BIGINT) AS n_sessions
             FROM g GROUP BY user_id
         """,
     }

@@ -64,9 +64,12 @@ def cosine_tf(a_toks: Column, b_toks: Column) -> Column:
     return F.when(denom > 0, dot / denom).otherwise(F.lit(0.0))
 
 
-def _domain(col: Column) -> Column:
-    parts = F.split(col, r"\.")
-    return F.when(F.size(parts) >= 2, F.element_at(parts, 2)).otherwise(F.lit(""))
+def _slash0(col: Column) -> Column:
+    """provider.split("/")[0] -- the provider comparison key used by BOTH
+    Product.equals (Product.java:102) and Product.compare (:123). Java's
+    split on a string without the separator returns the whole string, and
+    "".split("/")[0] is ""."""
+    return F.element_at(F.split(col, "/"), 1)
 
 
 def match_pairs(pairs: DataFrame, products: DataFrame) -> DataFrame:
@@ -74,12 +77,7 @@ def match_pairs(pairs: DataFrame, products: DataFrame) -> DataFrame:
     cols = ["id", "name", "description", "image_url", "price", "provider"]
     a = products.select([F.col(c).alias(f"a_{c}") for c in cols])
     b = products.select([F.col(c).alias(f"b_{c}") for c in cols])
-    j = (
-        pairs.join(a, pairs.a_id == a.a_id_ if False else F.col("a_id") == a.a_id)
-        if False
-        else pairs.join(a.withColumnRenamed("a_id", "a_id"), "a_id")
-        .join(b.withColumnRenamed("b_id", "b_id"), "b_id")
-    )
+    j = pairs.join(a, "a_id").join(b, "b_id")
     j = j.withColumn("a_toks", _tokens(F.col("a_name"))).withColumn(
         "b_toks", _tokens(F.col("b_name"))
     ).withColumn("a_dtoks", _tokens(F.col("a_description"))).withColumn(
@@ -87,24 +85,38 @@ def match_pairs(pairs: DataFrame, products: DataFrame) -> DataFrame:
     )
     cos_name = cosine_tf(F.col("a_toks"), F.col("b_toks"))
     cos_desc = cosine_tf(F.col("a_dtoks"), F.col("b_dtoks"))
+    # Product.equals (Product.java:92-112): name equal AND providers BOTH
+    # non-empty with equal first "/"-segment AND (either price 0.0 -> price
+    # check waived, else prices equal)
     equals = (
         (F.col("a_name") == F.col("b_name"))
-        & (_domain(F.col("a_provider")) == _domain(F.col("b_provider")))
-        & (F.col("a_price") == F.col("b_price"))
+        & (F.col("a_provider") != "")
+        & (F.col("b_provider") != "")
+        & (_slash0(F.col("a_provider")) == _slash0(F.col("b_provider")))
+        & (
+            (F.col("a_price") == 0.0)
+            | (F.col("b_price") == 0.0)
+            | (F.col("a_price") == F.col("b_price"))
+        )
     )
+    # Product.compare (:121-124): both image urls non-empty and equal, same
+    # provider "/"-segment (empty providers compare equal here -- no guard)
     img_match = (
         (F.col("a_image_url") != "")
+        & (F.col("b_image_url") != "")
         & (F.col("a_image_url") == F.col("b_image_url"))
-        & (_domain(F.col("a_provider")) == _domain(F.col("b_provider")))
+        & (_slash0(F.col("a_provider")) == _slash0(F.col("b_provider")))
     )
+    # Product.compare (:127-131): name cosine EXACTLY 1.0, EITHER description
+    # empty (|| at :128), both images empty
     bare_name = (
         (cos_name == 1.0)
-        & (F.col("a_description") == "")
-        & (F.col("b_description") == "")
+        & ((F.col("a_description") == "") | (F.col("b_description") == ""))
         & (F.col("a_image_url") == "")
         & (F.col("b_image_url") == "")
     )
-    fuzzy = (cos_name > 0.5) & (cos_desc > 0.7)
+    # Product.compare (:132-136): the else-if excludes cos_name == 1.0
+    fuzzy = (cos_name != 1.0) & (cos_name > 0.5) & (cos_desc > 0.7)
     return j.where(equals | img_match | bare_name | fuzzy).select("a_id", "b_id")
 
 

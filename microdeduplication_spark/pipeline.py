@@ -59,15 +59,19 @@ class _Checkpointer:
     """Per-stage parquet checkpoints with config-hashed manifests."""
 
     def __init__(self, spark: SparkSession, root: str | None, cfg: DedupConfig,
-                 eager: bool | str = False):
+                 eager: bool | str = False, extra_key: tuple = ()):
         self.spark = spark
         self.root = root
         # in-memory stage handling: False = fully lazy, "persist" / True =
         # persist each stage (no extra action), "count" = persist+count+time
         self.eager = eager
-        # stable across processes (Python's builtin str hash is seeded per run)
+        # stable across processes (Python's builtin str hash is seeded per run).
+        # extra_key folds run-shape parameters that are not part of DedupConfig
+        # (e.g. the active `passes` tuple) into the hash, so rerunning with a
+        # different pass set against the same checkpoint dir invalidates
+        # everything rather than reloading a stale 'verified'/'clusters'.
         self.cfg_hash = hashlib.sha256(
-            json.dumps(cfg.to_dict(), sort_keys=True).encode()
+            json.dumps([cfg.to_dict(), list(extra_key)], sort_keys=True).encode()
         ).hexdigest()[:16]
         self.cfg = cfg
         self.metrics: list[dict] = []
@@ -165,7 +169,8 @@ def run_pipeline(
     eager_metrics materializes + times every in-memory stage (profiling).
     """
     cfg = cfg or DedupConfig()
-    ck = _Checkpointer(spark, checkpoint_dir, cfg, eager=eager_metrics)
+    ck = _Checkpointer(spark, checkpoint_dir, cfg, eager=eager_metrics,
+                       extra_key=tuple(passes))
 
     normalized = ck.run(
         "normalized", lambda: exact_dedup.ingest_normalize(files, cfg), []
@@ -190,6 +195,7 @@ def run_pipeline(
         shingled = shingled.persist()
 
     cand_parts: list[DataFrame] = []
+    cand_stage_names: list[str] = []
     if "minhash" in passes:
         sigs = ck.run(
             "minhash_sigs",
@@ -205,6 +211,7 @@ def run_pipeline(
                 ["minhash_sigs"],
             )
         )
+        cand_stage_names.append("cand_minhash")
     if "simhash" in passes:
         sims = ck.run(
             "simhash_sigs",
@@ -218,11 +225,10 @@ def run_pipeline(
                 ["simhash_sigs"],
             )
         )
+        cand_stage_names.append("cand_simhash")
     lined = None
     if "substring" in passes:
-        lined = substring.line_hash_sets(
-            exact_dedup.representatives(normalized, groups)
-        )
+        lined = substring.line_hash_sets(reps)
         if checkpoint_dir is None:
             lined = lined.persist()
         cand_parts.append(
@@ -232,6 +238,7 @@ def run_pipeline(
                 ["normalized"],
             )
         )
+        cand_stage_names.append("cand_substring")
 
     if not cand_parts:
         raise ValueError("at least one pass required")
@@ -254,11 +261,10 @@ def run_pipeline(
     verified = ver_parts[0]
     for p in ver_parts[1:]:
         verified = verified.unionByName(p)
-    verified = ck.run(
-        "verified",
-        lambda: verified,
-        ["shingles"] + (["cand_substring"] if lined is not None else []),
-    )
+    # 'verified' consumes every active cand_* stage: rebuilding any of them
+    # (or toggling a pass -- also folded into cfg_hash) invalidates it
+    verified = ck.run("verified", lambda: verified,
+                      ["shingles"] + cand_stage_names)
 
     edges = verified.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")

@@ -43,8 +43,14 @@ def stream_ingest(
     """
 
     def _sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
-        normalized = ingest_normalize(batch_df, cfg)
+        # within-batch dedup first: two rows with the same (repo,path,commit)
+        # in one micro-batch must land once for the file_id key to be honest
+        normalized = ingest_normalize(batch_df, cfg).dropDuplicates(["file_id"])
         if os.path.exists(sink_dir):
+            # NOTE: this left_anti re-reads the whole sink each micro-batch --
+            # O(corpus) per trigger. Fine for a parquet sink at test scale; at
+            # production scale the sink must be a keyed table (Iceberg/Delta
+            # MERGE INTO on file_id) so the dedup is an index lookup, not a scan.
             existing = batch_df.sparkSession.read.parquet(sink_dir).select("file_id")
             normalized = normalized.join(existing, "file_id", "left_anti")
         normalized.write.mode("append").parquet(sink_dir)

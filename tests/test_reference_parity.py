@@ -94,22 +94,39 @@ def _cos(a, b):
     return dot / (na * nb) if na and nb else 0.0
 
 
-def _dom(p):
-    parts = p.split(".")
-    return parts[1] if len(parts) >= 2 else ""
+def _slash0(p):
+    # Java provider.split("/")[0]: whole string when no separator, "" for ""
+    return p.split("/")[0]
 
 
 def _match(a, b):
-    # a/b: dict with name, description, image_url, price, provider
-    equals = (a["name"] == b["name"] and _dom(a["provider"]) == _dom(b["provider"])
-              and a["price"] == b["price"])
-    img = (a["image_url"] != "" and a["image_url"] == b["image_url"]
-           and _dom(a["provider"]) == _dom(b["provider"]))
-    cn = _cos(a["name"], b["name"])
-    bare = (cn == 1.0 and a["description"] == "" and b["description"] == ""
-            and a["image_url"] == "" and b["image_url"] == "")
-    fuzzy = cn > 0.5 and _cos(a["description"], b["description"]) > 0.7
-    return equals or img or bare or fuzzy
+    # Direct transcription of the JAVA control flow (Product.java:92-140),
+    # not of the Spark implementation, so drift in either is caught.
+    # equals (:92-112)
+    nam = a["name"] == b["name"]
+    pro = False
+    if not (a["provider"] == "" or b["provider"] == ""):
+        pro = _slash0(a["provider"]) == _slash0(b["provider"])
+    if not (a["price"] == 0.0 or b["price"] == 0.0):
+        pri = a["price"] == b["price"]
+    else:
+        pri = True
+    if nam and pro and pri:
+        return True
+    # compare (:114-140)
+    if not (a["image_url"] == "" or b["image_url"] == ""):
+        if (a["image_url"] == b["image_url"]
+                and _slash0(a["provider"]) == _slash0(b["provider"])):
+            return True
+    name_sim = _cos(a["name"], b["name"])
+    if name_sim == 1.0:
+        if ((a["description"] == "" or b["description"] == "")
+                and a["image_url"] == "" and b["image_url"] == ""):
+            return True
+    elif name_sim > 0.5:
+        if _cos(a["description"], b["description"]) > 0.7:
+            return True
+    return False
 
 
 def _oracle_clusters(products):
