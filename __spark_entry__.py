@@ -399,6 +399,103 @@ def q_entity_formation(spark, sf_dir) -> DataFrame:
     return parsed.select("id", "name", "sku", "price", "currency", "provider")
 
 
+def q_entity_routing(spark, sf_dir) -> DataFrame:
+    """Reference entityformation quad routing (SURVEY.md P1, the full stage:
+    ConvertionToEntities.java:62-183): synthesize Product/Offer quad blocks
+    from `part`, then run predicate-substring routing with first-wins /
+    last-wins fields, provider+timestamp from the key, and the
+    Offer-inherits-Product window. The oracle computes the expected routed
+    rows directly from `part`, so the routing logic itself is what is
+    checked (incl. the priceCurrency-swallowed-by-price-branch chain quirk
+    and single-consumption of the pending product map)."""
+    from microdeduplication_spark.operators.entity_routing import (
+        route_quad_blocks,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    g = pk % 40
+    prod_block = F.concat_ws(
+        "\n",
+        F.lit("<http://schema.org/Product>"),
+        F.format_string(
+            "<http://shop%s.ee::shop%s.example.ee::20160101::q>, <n%s>, "
+            "<http://schema.org/Product/name>, <%s>",
+            g, g, pk, F.col("p_name"),
+        ),
+        # two image lines: last one must win
+        F.format_string(
+            "<k>, <n%s>, <http://schema.org/Product/image>, "
+            "<http://img/%sa.jpg>", pk, pk,
+        ),
+        F.format_string(
+            "<k>, <n%s>, <http://schema.org/Product/image>, "
+            "<http://img/%s.jpg>", pk, pk,
+        ),
+        F.format_string(
+            "<k>, <n%s>, <http://schema.org/Product/sku>, <sku%s>", pk, pk
+        ),
+        F.format_string(
+            "<k>, <n%s>, <http://schema.org/Product/description>, <%s>",
+            pk, F.col("p_type"),
+        ),
+    )
+    offer1_block = F.concat_ws(
+        "\n",
+        F.lit("<http://schema.org/Offer>"),
+        F.format_string(
+            "<http://off%s.ee::off%s.example.ee::20170101::q>, <o%s>, "
+            "<http://schema.org/Offer/price>, <%.2f>",
+            g, g, pk, F.col("p_retailprice"),
+        ),
+        # contains "Offer/price" -> captured by the price branch, never
+        # reaches the currency branch (reference else-if chain quirk)
+        F.format_string(
+            "<k>, <o%s>, <http://schema.org/Offer/priceCurrency>, <EUR>", pk
+        ),
+        # a real Offer/currency line only for pk%4==0 (concat_ws skips null)
+        F.when(
+            pk % 4 == 0,
+            F.format_string(
+                "<k>, <o%s>, <http://schema.org/Offer/currency>, <EUR>", pk
+            ),
+        ),
+    )
+    offer2_block = F.concat_ws(
+        "\n",
+        F.lit("<http://schema.org/Offer>"),
+        F.format_string(
+            "<http://late%s.ee::late%s.example.ee::20180101::q>, <o2%s>, "
+            "<http://schema.org/Offer/itemOffered>, <%s late>",
+            g, g, pk, F.col("p_name"),
+        ),
+        F.format_string(
+            "<k>, <o2%s>, <http://schema.org/Offer/price>, <9.99>", pk
+        ),
+    )
+    blocks = (
+        p.select(g.alias("part"), (3 * pk).alias("pos"),
+                 prod_block.alias("block"))
+        .unionByName(
+            p.where(pk % 2 == 0).select(
+                g.alias("part"), (3 * pk + 1).alias("pos"),
+                offer1_block.alias("block"),
+            )
+        )
+        .unionByName(
+            p.where(pk % 6 == 0).select(
+                g.alias("part"), (3 * pk + 2).alias("pos"),
+                offer2_block.alias("block"),
+            )
+        )
+    )
+    routed = route_quad_blocks(blocks)
+    return routed.select(
+        "id", "name", "sku", "description", "image_url", "prod_url",
+        "price", "currency", "availability", "provider", "time_stamp",
+    )
+
+
 def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
     """Full reference-semantics SNM product dedup (rows-only: the window +
     tf-cosine predicate chain is pinned by the brute-force oracle in
@@ -489,6 +586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_by_type": q_events_by_type,
         "user_sessions": q_user_sessions,
         "entity_formation": q_entity_formation,
+        "entity_routing": q_entity_routing,
         "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
     }
@@ -697,6 +795,38 @@ def oracle_sql() -> dict[str, str]:
                    'EUR' AS currency,
                    'shop.example.ee' AS provider
             FROM part
+        """,
+        "entity_routing": """
+            WITH g AS (SELECT *, p_partkey % 40 AS grp FROM part)
+            -- first offer after each product: inherits everything the
+            -- product block assigned; own price line wins (product had no
+            -- price); currency only when a real Offer/currency line exists
+            -- (the priceCurrency line is swallowed by the price branch)
+            SELECT 3 * p_partkey + 1 AS id,
+                   p_name AS name,
+                   'sku' || p_partkey AS sku,
+                   p_type AS description,
+                   'http://img/' || p_partkey || '.jpg' AS image_url,
+                   '' AS prod_url,
+                   printf('%.2f', p_retailprice) AS price,
+                   CASE WHEN p_partkey % 4 = 0 THEN 'EUR' ELSE '' END
+                     AS currency,
+                   '' AS availability,
+                   'http://shop' || grp || '.eeshop' || grp || '.example.ee'
+                     AS provider,
+                   '20160101' AS time_stamp
+            FROM g WHERE p_partkey % 2 = 0
+            UNION ALL
+            -- second offer: the pending map was consumed, nothing inherited
+            SELECT 3 * p_partkey + 2 AS id,
+                   p_name || ' late' AS name,
+                   '' AS sku, '' AS description, '' AS image_url,
+                   '' AS prod_url,
+                   '9.99' AS price, '' AS currency, '' AS availability,
+                   'http://late' || grp || '.eelate' || grp || '.example.ee'
+                     AS provider,
+                   '20180101' AS time_stamp
+            FROM g WHERE p_partkey % 6 = 0
         """,
         "user_sessions": """
             WITH g AS (

@@ -1,0 +1,261 @@
+"""Quad-block -> product-record routing (the reference's `entityformation`).
+
+Re-expresses /root/reference/deduplicaiton/.../processes/
+ConvertionToEntities.java:62-183 -- the stage between raw N-quad blocks and
+parseable 11-field product lines -- as declarative Spark. One input row is
+one "entity block": the multi-line remainder of a record split on the
+`22-rdf-syntax-ns#type>, ` delimiter (ConvertionToEntities.java:36-45), so a
+block's first line is a type object (`<http://schema.org/Product>` /
+`...Offer>`) followed by quad lines `<key>, <subject>, <predicate>, <object>`.
+
+Faithfully reproduced semantics:
+
+- predicate-substring routing with the reference's exact else-if chain
+  (:95-124). Branch order matters: a line containing `Offer/priceCurrency`
+  also contains `Offer/price` and is therefore captured by the PRICE branch
+  -- the currency branch is only reachable via `Offer/currency` /
+  `Product/currency`. That quirk is part of the chain and is kept.
+- per-field conflict rules: name/price/currency/description are first-wins
+  (guarded by isEmpty, :96,105,113,116); image/url/sku/availability are
+  last-wins (unconditional assignment, :103,119,121,123).
+- provider = key-part0 + key-part1 concatenated (no separator), timestamp =
+  key-part2, where key = line.split(">, ")[0] (keeps its leading `<`) and
+  parts split on `::` (:162-182); both are harvested first-wins from
+  name/price-branch lines only (:98-101,107-110).
+- Offer-inherits-Product (:80-94): a Product block emits nothing and becomes
+  the pending field map (:130-143); the FIRST Offer block after it inherits
+  every field and consumes the map (`productMap = null`, :93) -- a second
+  Offer before the next Product inherits nothing. Inherited (non-empty)
+  values win for first-wins fields; the offer's own lines win for last-wins
+  fields (they are assigned after the inherit, unconditionally).
+- every non-Product block emits (the reference's emptiness check at :152 is
+  dead code -- the tuple always starts with the id counter).
+- emission cleanup = clearLine + \\uXXXX decode (:155-156) via
+  entity_formation.clear_line / unescape_unicode.
+
+Deliberate deviations (documented per SURVEY.md §4 "bugs to not reproduce"):
+
+- the emitted id is the block's deterministic position, not a JVM-static
+  counter (ConvertionToEntities.java:20,145 is partition-count-dependent).
+- Offers inherit image_url from the product's image_url, not from its sku
+  (the `imageUrl = productMap.get("sku")` copy-paste bug at :85).
+- malformed (<4-field) lines contribute nothing at all; the reference can
+  still harvest provider/timestamp from a malformed line in rare orderings
+  (the per-line catch at :125-127 skips the rest of the line only when the
+  object extraction itself throws).
+
+Scale: the reference's cross-record state (Util.productMap) is only correct
+because blocks of one file land in one partition in file order. Here the
+order dependency is explicit and bounded: the inherit window partitions by
+`part_col` (one input file / split) and orders by `pos_col` within it -- no
+global sort, no single-partition window; the product->offer field transfer
+is an equi self-join on (part_col, inherited position).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from microdeduplication_spark.operators.entity_formation import (
+    clear_line,
+    unescape_unicode,
+)
+
+# first-wins fields (isEmpty-guarded in the reference); provider/time_stamp
+# are first-wins too but harvested from the key, not the object
+_FIRST_WINS = ["name", "price", "currency", "description"]
+# last-wins fields (unconditional assignment in the reference)
+_LAST_WINS = ["image_url", "prod_url", "sku", "availability"]
+ROUTED_FIELDS = [
+    "name", "sku", "description", "image_url", "prod_url",
+    "price", "currency", "availability", "provider", "time_stamp",
+]
+
+
+def _branches(l: Column) -> list[tuple[str, Column, bool]]:
+    """(field, raw-contains condition, first_wins) in the reference's else-if
+    order (ConvertionToEntities.java:95-124)."""
+    return [
+        ("name", l.contains("Product/name") | l.contains("Offer/itemOffered"), True),
+        ("image_url", l.contains("Product/image") | l.contains("Offer/image"), False),
+        ("price", l.contains("Offer/price") | l.contains("Product/price"), True),
+        ("currency",
+         l.contains("Offer/priceCurrency") | l.contains("Offer/currency")
+         | l.contains("Product/currency"), True),
+        ("description",
+         l.contains("Product/description") | l.contains("Offer/description"), True),
+        ("prod_url", l.contains("Product/url"), False),
+        ("sku", l.contains("Product/sku"), False),
+        ("availability", l.contains("Offer/availability"), False),
+    ]
+
+
+def _effective(l: Column) -> dict[str, tuple[Column, bool]]:
+    """else-if semantics: branch i fires only if no earlier branch matched."""
+    out: dict[str, tuple[Column, bool]] = {}
+    seen: Column | None = None
+    for field, cond, first in _branches(l):
+        eff = cond if seen is None else (cond & ~seen)
+        out[field] = (eff, first)
+        seen = cond if seen is None else (seen | cond)
+    return out
+
+
+def route_quad_blocks(
+    blocks: DataFrame,
+    block_col: str = "block",
+    part_col: str = "part",
+    pos_col: str = "pos",
+    decode_unicode: bool = True,
+) -> DataFrame:
+    """Entity blocks -> emitted product records.
+
+    blocks: one row per entity block with (part_col, pos_col, block_col);
+    part_col scopes the Offer-inherits-Product state (one input file),
+    pos_col is the block's order within that scope.
+
+    Returns (part_col, id=pos_col, is_offer, name, sku, description,
+    image_url, prod_url, price, currency, availability, provider,
+    time_stamp) -- one row per NON-Product block, all fields cleaned
+    strings ('' = never assigned). Product blocks only feed inheritance.
+    """
+    # materialize the line array once: every extraction below is a HOF over
+    # it, and an inline split would be re-evaluated per lambda element
+    lined = blocks.select(
+        F.col(part_col).alias("part"),
+        F.col(pos_col).alias("pos"),
+        F.col(block_col).contains(".org/Product>").alias("is_product"),
+        F.col(block_col).contains(".org/Offer>").alias("is_offer"),
+        F.split(F.col(block_col), "\n").alias("lines"),
+    )
+
+    def parts_of(l: Column) -> Column:
+        return F.split(l, ">, ")
+
+    def wf(l: Column) -> Column:
+        return F.size(parts_of(l)) >= 4
+
+    def obj_of(l: Column) -> Column:
+        return F.element_at(parts_of(l), 4)
+
+    # raw per-field extraction: NULL = never assigned (maps to the reference
+    # locals staying ""); an assigned-but-empty object ("<>") is non-null and
+    # therefore blocks later first-wins assignments, exactly like Java's
+    # isEmpty() on the raw "<>" string
+    field_exprs: dict[str, Column] = {}
+    eff = _effective  # alias for lambda-scope clarity
+
+    def _field_filter(field: str):
+        # closure factory: F.filter treats a 2-arg lambda as (element, index),
+        # so the field name must be bound outside the lambda signature
+        return lambda l: eff(l)[field][0] & wf(l)
+
+    for field, first in [(f, True) for f in _FIRST_WINS] + [
+        (f, False) for f in _LAST_WINS
+    ]:
+        matches = F.filter(F.col("lines"), _field_filter(field))
+        objs = F.transform(matches, obj_of)
+        field_exprs[field] = F.try_element_at(objs, F.lit(1 if first else -1))
+
+    # provider/time_stamp: first non-empty harvest over name/price-branch
+    # lines (both set them first-wins from the key, :98-101/:107-110)
+    def key_details(l: Column) -> Column:
+        return F.split(F.element_at(parts_of(l), 1), "::")
+
+    tp_lines = F.filter(
+        F.col("lines"),
+        lambda l: (eff(l)["name"][0] | eff(l)["price"][0]) & wf(l),
+    )
+    providers = F.filter(
+        F.transform(
+            tp_lines,
+            lambda l: F.when(
+                F.size(key_details(l)) >= 2,
+                F.concat(
+                    F.element_at(key_details(l), 1),
+                    F.element_at(key_details(l), 2),
+                ),
+            ),
+        ),
+        lambda p: p.isNotNull() & (p != ""),
+    )
+    timestamps = F.filter(
+        F.transform(tp_lines, lambda l: F.try_element_at(key_details(l), F.lit(3))),
+        lambda t: t.isNotNull() & (t != ""),
+    )
+    field_exprs["provider"] = F.try_element_at(providers, F.lit(1))
+    field_exprs["time_stamp"] = F.try_element_at(timestamps, F.lit(1))
+
+    routed = lined.select(
+        "part", "pos", "is_product", "is_offer",
+        *[field_exprs[f].alias(f) for f in ROUTED_FIELDS],
+    )
+
+    # Offer-inherits-Product: the pending product map is consumed by the
+    # first offer after it. An offer at pos i inherits from the nearest
+    # preceding product block p iff no offer block sits strictly between
+    # them (it would have consumed the map); a product-and-offer block
+    # consumes first, then stores its own map, so lo == lp still inherits.
+    w = (
+        W.partitionBy("part")
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    lp = F.last(F.when(F.col("is_product"), F.col("pos")), ignorenulls=True).over(w)
+    lo = F.last(F.when(F.col("is_offer"), F.col("pos")), ignorenulls=True).over(w)
+    routed = routed.withColumn(
+        "src_pos",
+        F.when(
+            F.col("is_offer")
+            & lp.isNotNull()
+            & (lo.isNull() | (lo <= lp)),
+            lp,
+        ),
+    )
+
+    emitted = routed.where(~F.col("is_product"))
+    prod_src = routed.where(F.col("is_product")).select(
+        F.col("part").alias("p_part"),
+        F.col("pos").alias("p_pos"),
+        *[F.col(f).alias(f"p_{f}") for f in ROUTED_FIELDS],
+    )
+    j = emitted.join(
+        prod_src,
+        (F.col("part") == F.col("p_part")) & (F.col("src_pos") == F.col("p_pos")),
+        "left",
+    )
+
+    def merged(f: str) -> Column:
+        inh, own = F.col(f"p_{f}"), F.col(f)
+        if f in _LAST_WINS:
+            # offer lines are assigned after the inherit, unconditionally
+            raw = F.coalesce(own, inh)
+        else:
+            # inherit wins when the product block assigned the field
+            raw = F.coalesce(inh, own)
+        cleaned = clear_line(F.coalesce(raw, F.lit("")))
+        if decode_unicode:
+            cleaned = unescape_unicode(cleaned)
+        return cleaned.alias(f)
+
+    return j.select(
+        "part",
+        F.col("pos").alias("id"),
+        "is_offer",
+        *[merged(f) for f in ROUTED_FIELDS],
+    )
+
+
+def as_product_lines(routed: DataFrame) -> DataFrame:
+    """Serialize routed records to the reference's 11-field `<...>;<...>`
+    line format (Product.toString shape, consumed by parse_product_lines),
+    mirroring the stage boundary at ConvertionToEntities.java:145-150."""
+    return routed.select(
+        F.format_string(
+            "<%s>;" * 10 + "<%s>",
+            F.col("id").cast("string"),
+            *[F.col(f) for f in ROUTED_FIELDS],
+        ).alias("value")
+    )
