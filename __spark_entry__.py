@@ -496,6 +496,29 @@ def q_entity_routing(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_eval_keys(spark, sf_dir) -> DataFrame:
+    """Reference evaluation-key projection (SURVEY.md P5,
+    EvaluateDeduplication.java:40-48): product lines built from `part` with
+    planted leading punctuation; key = stripped+trimmed name + raw
+    description. The '*x ' prefix deliberately does NOT match the
+    punct-then-whitespace pattern and must survive."""
+    from microdeduplication_spark.evaluation import eval_keys_from_lines
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    prefix = (
+        F.when(pk % 3 == 0, F.lit(", "))
+        .when(pk % 3 == 1, F.lit("- "))
+        .otherwise(F.lit("*x "))
+    )
+    line = F.format_string(
+        "<%s>;<%s%s>;<sku%s>;<%s>;<>;<>;<%.2f>;<EUR>;<>;<p.ee>;<t>",
+        pk, prefix, F.col("p_name"), pk, F.col("p_type"),
+        F.col("p_retailprice"),
+    )
+    return eval_keys_from_lines(p.select(line.alias("value")))
+
+
 def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
     """Full reference-semantics SNM product dedup (rows-only: the window +
     tf-cosine predicate chain is pinned by the brute-force oracle in
@@ -587,6 +610,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "user_sessions": q_user_sessions,
         "entity_formation": q_entity_formation,
         "entity_routing": q_entity_routing,
+        "eval_keys": q_eval_keys,
         "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
     }
@@ -827,6 +851,12 @@ def oracle_sql() -> dict[str, str]:
                      AS provider,
                    '20180101' AS time_stamp
             FROM g WHERE p_partkey % 6 = 0
+        """,
+        "eval_keys": """
+            SELECT CASE WHEN p_partkey % 3 IN (0, 1)
+                        THEN p_name || p_type
+                        ELSE '*x ' || p_name || p_type END AS key
+            FROM part
         """,
         "user_sessions": """
             WITH g AS (

@@ -17,8 +17,34 @@ reaches the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def eval_key(name: Column, description: Column) -> Column:
+    """The reference's evaluation key (EvaluateDeduplication.java:40-48):
+    name with ONE leading punctuation-then-whitespace occurrence stripped
+    (replaceFirst "^[,.*%@!\\-_+]\\s") and trimmed, concatenated with the
+    raw (untrimmed) description. Both gold and output datasets are keyed
+    this way before the set/bag metrics."""
+    stripped = F.regexp_replace(name, r"^[,.*%@!\-_+]\s", "")
+    return F.concat(F.trim(stripped), description)
+
+
+def eval_keys_from_lines(lines: DataFrame, col: str = "value") -> DataFrame:
+    """Raw 11-field `<...>;<...>` product lines -> (key) rows: the exact
+    projection the reference evaluation job applies to each dataset
+    (EvaluateDeduplication.java:31-48: drop empty lines, strip all angle
+    brackets, split on ';', key on fields 1 and 3). The regexp_replace is
+    anchored, so replace-all equals Java's replaceFirst."""
+    no_brackets = F.regexp_replace(F.col(col), "<|>", "")
+    parts = F.split(no_brackets, ";")
+    name = F.coalesce(F.try_element_at(parts, F.lit(2)), F.lit(""))
+    desc = F.coalesce(F.try_element_at(parts, F.lit(4)), F.lit(""))
+    return (
+        lines.where(F.length(F.col(col)) > 0)
+        .select(eval_key(name, desc).alias("key"))
+    )
 
 
 def pair_recall(clusters: DataFrame, truth_pairs: DataFrame) -> dict:

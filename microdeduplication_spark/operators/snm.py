@@ -6,14 +6,25 @@ global sortByKey (:97), and an mllib sliding window of w records (:103-104)
 whose pairs feed the match predicates. The new engine's production blocking
 is LSH (operators/minhash_lsh.py) -- see SURVEY.md §2.6 W1/W2 for why SNM
 does not survive at 10^12 files -- but the SNM *semantics* (compare each
-record to its w-1 successors in key order) remain available here as a window
-function, for parity checks and for workloads where a domain sort key exists.
+record to its w-1 successors in key order) remain available here, scale-safe.
 
-Spark-first: no global sort + no sliding RDD. `lead()` over a window gives
-each record its successors; partitioning by a coarse key prefix bounds the
-sort (the reference's single total sort becomes range-partitioned local
-sorts). The reference's stateful cross-window suppression (Util.java:67-120)
-is NOT reproduced -- dedup group formation belongs to connected components.
+Spark-first, no global sort and no single-partition window:
+
+- `repartitionByRange(key, id)` gives a total order across partitions with
+  local sorts only (the same physical strategy as the reference's
+  sortByKey, minus the sliding-window RDD);
+- within-partition pairs come from `lead()` over a window PARTITIONED by
+  the physical range-partition id -- every executor works independently;
+- the w-1 cross-boundary pairs are emitted explicitly: each partition's
+  head/tail sliver (w-1 rows) is assigned a global position from the
+  per-partition row counts (a metadata-scale driver exchange, exactly what
+  RDD.zipWithIndex does), and the tiny sliver table is theta-joined on
+  |pos_a - pos_b| < w. Slivers are 2(w-1) rows per partition, so the join
+  is broadcast-sized at any corpus size and also covers partitions smaller
+  than the window.
+
+The reference's stateful cross-window suppression (Util.java:67-120) is NOT
+reproduced -- dedup group formation belongs to connected components.
 """
 
 from __future__ import annotations
@@ -23,38 +34,116 @@ from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
 
-def snm_candidate_pairs(
-    df: DataFrame,
-    key_col: str,
-    id_col: str,
-    window: int = 3,
-    partition_col: str | None = None,
-) -> DataFrame:
-    """All (a_id, b_id) pairs within `window` positions in key order.
-
-    Matches the pair-enumeration semantics of the reference's sliding window
-    incl. its suffix-tail behavior (Deduplication.java:108-125): every record
-    is compared to each of its w-1 successors, with the tail windows emitting
-    their remaining suffix pairs.
-
-    partition_col bounds the sort scope (scalable path); None reproduces the
-    reference's single global ordering (small data / parity tests only).
-    """
-    w = (
-        W.partitionBy(partition_col) if partition_col else W.partitionBy(F.lit(1))
-    ).orderBy(F.col(key_col), F.col(id_col))
-    out = None
-    for off in range(1, window):
-        nxt = df.select(
-            F.col(id_col).alias("a_id"),
-            F.col(key_col).alias("a_key"),
-            F.lead(F.col(id_col), off).over(w).alias("b_id"),
-            F.lead(F.col(key_col), off).over(w).alias("b_key"),
-        ).where(F.col("b_id").isNotNull())
-        out = nxt if out is None else out.unionByName(nxt)
+def _pairs_output(parts: list[DataFrame]) -> DataFrame:
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
     return out.select(
         F.least("a_id", "b_id").alias("a_id"),
         F.greatest("a_id", "b_id").alias("b_id"),
         "a_key",
         "b_key",
     ).distinct()
+
+
+def snm_candidate_pairs(
+    df: DataFrame,
+    key_col: str,
+    id_col: str,
+    window: int = 3,
+    partition_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """All (a_id, b_id) pairs within `window` positions in (key, id) order.
+
+    Matches the pair-enumeration semantics of the reference's sliding window
+    incl. its suffix-tail behavior (Deduplication.java:108-125): every record
+    is compared to each of its w-1 successors, with the tail windows emitting
+    their remaining suffix pairs.
+
+    partition_col bounds the comparison scope to a domain partition (each
+    group ordered independently); None uses the global (key, id) order via
+    range partitioning -- no single-partition WindowExec either way.
+    """
+    if partition_col is not None:
+        w = W.partitionBy(partition_col).orderBy(F.col(key_col), F.col(id_col))
+        parts = []
+        for off in range(1, window):
+            parts.append(
+                df.select(
+                    F.col(id_col).alias("a_id"),
+                    F.col(key_col).alias("a_key"),
+                    F.lead(F.col(id_col), off).over(w).alias("b_id"),
+                    F.lead(F.col(key_col), off).over(w).alias("b_key"),
+                ).where(F.col("b_id").isNotNull())
+            )
+        return _pairs_output(parts)
+
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    # persist pins the sampled range boundaries: pid feeds two consumers
+    # (within-pass + slivers) and must not be resampled between them
+    ranged = (
+        df.select(F.col(id_col).alias("rid"), F.col(key_col).alias("rkey"))
+        .repartitionByRange(n_parts, F.col("rkey"), F.col("rid"))
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    local_w = W.partitionBy("pid").orderBy("rkey", "rid")
+    local = ranged.withColumn("rn", F.row_number().over(local_w))
+
+    # within-partition pairs: lead() in each range partition independently
+    parts = []
+    for off in range(1, window):
+        parts.append(
+            local.select(
+                F.col("rid").alias("a_id"),
+                F.col("rkey").alias("a_key"),
+                F.lead("rid", off).over(local_w).alias("b_id"),
+                F.lead("rkey", off).over(local_w).alias("b_key"),
+            ).where(F.col("b_id").isNotNull())
+        )
+
+    # cross-boundary pairs: global positions from per-partition counts (a
+    # metadata-scale collect -- one row per partition), then a theta join
+    # over the head/tail slivers only. Covers sub-window-sized partitions:
+    # position arithmetic is global, not adjacent-partition-pairing.
+    counts = {
+        r["pid"]: r["n"]
+        for r in ranged.groupBy("pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc, counts[p]))
+        acc += counts[p]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets, "pid int, offset long, cnt long")
+    )
+    sliver = (
+        local.join(off_df, "pid")
+        .where(
+            (F.col("rn") <= window - 1)
+            | (F.col("rn") > F.col("cnt") - (window - 1))
+        )
+        .select(
+            "rid", "rkey", (F.col("rn") + F.col("offset")).alias("pos")
+        )
+    )
+    a = sliver.select(
+        F.col("rid").alias("a_id"),
+        F.col("rkey").alias("a_key"),
+        F.col("pos").alias("a_pos"),
+    )
+    b = sliver.select(
+        F.col("rid").alias("b_id"),
+        F.col("rkey").alias("b_key"),
+        F.col("pos").alias("b_pos"),
+    )
+    parts.append(
+        a.join(
+            F.broadcast(b),
+            (F.col("b_pos") > F.col("a_pos"))
+            & (F.col("b_pos") < F.col("a_pos") + window),
+        ).select("a_id", "a_key", "b_id", "b_key")
+    )
+    return _pairs_output(parts)

@@ -32,6 +32,41 @@ def test_snm_pairs_match_bruteforce(spark):
     assert got == want
 
 
+def test_snm_pairs_cross_boundary_stress(spark):
+    """Range-partitioned SNM must emit exactly the global-order pairs even
+    when partitions are smaller than the window (forced 32 partitions over
+    300 rows with heavy key ties, window 4)."""
+    rng = np.random.default_rng(7)
+    rows = [(i, int(k)) for i, k in enumerate(rng.integers(0, 40, size=300))]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    w = 4
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in snm_candidate_pairs(
+            df, "key", "id", window=w, num_partitions=32
+        ).collect()
+    }
+    order = [i for i, k in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {
+        (min(order[p], order[p + off]), max(order[p], order[p + off]))
+        for p in range(len(order))
+        for off in range(1, w)
+        if p + off < len(order)
+    }
+    assert got == want
+
+
+def test_snm_plan_has_no_single_partition_exchange(spark):
+    """The scale path must not move all data to one partition (the round-1
+    WindowExec 'No Partition Defined' scale-killer)."""
+    df = spark.range(100).select(
+        F.col("id"), (F.col("id") % 7).alias("key")
+    )
+    plan = snm_candidate_pairs(df, "key", "id", window=3)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
 def test_token_counts(spark):
     df = spark.createDataFrame(
         [("hello world, it's 42!",), ("",), ("one",)], ["text"]

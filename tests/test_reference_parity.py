@@ -201,6 +201,36 @@ def test_validity_filter(spark):
     assert {r["id"] for r in df.collect()} == {1}
 
 
+def test_eval_key_projection(spark):
+    """EvaluateDeduplication.java:40-48 parity, incl. the replaceFirst-once
+    rule, trim-after-strip, and the untrimmed description."""
+    import re
+
+    from microdeduplication_spark.evaluation import eval_keys_from_lines
+
+    lines = [
+        "<1>;<, red bike>;<s>;<great desc>;<i>;<u>;<5>;<EUR>;<a>;<p>;<t>",
+        "<2>;<- - twice prefixed>;<s>;<d>;<i>;<u>;<5>;<EUR>;<a>;<p>;<t>",
+        "<3>;<*x no match>;<s>;<d>;<i>;<u>;<5>;<EUR>;<a>;<p>;<t>",
+        "<4>;< padded >;<s>;< desc >;<i>;<u>;<5>;<EUR>;<a>;<p>;<t>",
+        "",  # empty line dropped (the reference's non-empty filter)
+    ]
+
+    def java_key(line):
+        tuples = re.sub("<|>", "", line).split(";")
+        name = re.sub(r"^[,.*%@!\-_+]\s", "", tuples[1], count=1).strip()
+        return name + tuples[3]
+
+    want = sorted(java_key(l) for l in lines if l)
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = sorted(r["key"] for r in eval_keys_from_lines(df).collect())
+    assert got == want
+    # the once-only strip leaves the second '- ' in place
+    assert "- twice prefixeddd" not in got
+    assert any(g.startswith("- twice prefixed") for g in got)
+    assert any(g.startswith("*x no match") for g in got)
+
+
 def test_snm_dedup_matches_bruteforce_oracle(spark, parsed):
     reps, clusters = snm_dedup(parsed, window=WINDOW)
     got = {r["id"]: r["cluster_id"] for r in clusters.collect()}
