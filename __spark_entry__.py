@@ -153,7 +153,8 @@ def q_snm_window_pairs(spark, sf_dir) -> DataFrame:
 
 
 def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
-    """Rolling xxhash64 fingerprint (rows-only: DuckDB lacks xxhash64)."""
+    """Order-sensitive rolling document fingerprint (md5-32 hash family so
+    the DuckDB oracle can reproduce it bit-for-bit)."""
     return (
         _docs(spark, sf_dir)
         .select("doc_id", ts.word_tokens_lower(F.col("text")).alias("toks"))
@@ -252,6 +253,21 @@ def q_srp_ann_pairs(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 # relational operator coverage (TPC-H-ish driver tables)
 # ---------------------------------------------------------------------------
+
+def q_srp_knn_top3(spark, sf_dir) -> DataFrame:
+    """Bucketed (SRP-LSH) top-3 neighbors: the scale path for knn_top3
+    (rows-only: seeded hyperplanes; recall vs brute force is pytest-gated
+    in test_srp_topk_recall_vs_bruteforce)."""
+    from microdeduplication_spark.operators.similarity_search import (
+        srp_bucket_topk,
+    )
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    return srp_bucket_topk(e, q, k=3, dim=64, n_planes=8, n_tables=8).select(
+        "q_id", "n_id", "rank"
+    )
+
 
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1 shape: multi-agg groupBy (SURVEY.md A1/A2)."""
@@ -520,9 +536,18 @@ def q_eval_keys(spark, sf_dir) -> DataFrame:
 
 
 def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
-    """Full reference-semantics SNM product dedup (rows-only: the window +
-    tf-cosine predicate chain is pinned by the brute-force oracle in
-    tests/test_reference_parity.py instead of SQL)."""
+    """Full reference-semantics SNM product dedup (blocking key -> sorted
+    window -> Product.equals/compare predicates -> first-seen clusters).
+
+    The fixture is constructed so exactly the planted equals-duplicates can
+    match -- every row carries a unique non-empty image_url (blocks the
+    bare-name branch even between permutation-equal names) and a unique
+    single-token description (desc cosine is 0 across distinct parts, so
+    the fuzzy branch never fires; 2-word names give name cosine in
+    {0, 0.5, 1.0} and the fuzzy branch needs >0.5 and !=1.0) -- which makes
+    the expected clusters directly expressible as the DuckDB oracle. The
+    predicate chain itself is additionally pinned by the brute-force oracle
+    in tests/test_reference_parity.py."""
     from microdeduplication_spark.operators.entity_formation import (
         parse_product_lines,
         validity_filter,
@@ -531,15 +556,16 @@ def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
 
     p = _t(spark, sf_dir, "part").where(F.col("p_partkey") <= 400)
     line = F.format_string(
-        "<%s>;<%s>;<sku%s>;<%s>;<>;<>;<%.2f>;<EUR>;<InStock>;"
+        "<%s>;<%s>;<sku%s>;<d%s>;<http://img/%s>;<>;<%.2f>;<EUR>;<InStock>;"
         "<shop.example.ee>;<t>",
         F.col("p_partkey"), F.col("p_name"), F.col("p_partkey"),
-        F.col("p_type"), F.col("p_retailprice"),
+        F.col("p_partkey"), F.col("p_partkey"), F.col("p_retailprice"),
     )
     dup_line = F.format_string(  # planted equals-duplicates (same name+price)
-        "<%s>;<%s>;<>;<>;<>;<>;<%.2f>;<EUR>;<>;<shop.example.ee>;<t>",
+        "<%s>;<%s>;<>;<>;<http://img/d%s>;<>;<%.2f>;<EUR>;<>;"
+        "<shop.example.ee>;<t>",
         F.col("p_partkey") + F.lit(1000000), F.col("p_name"),
-        F.col("p_retailprice"),
+        F.col("p_partkey"), F.col("p_retailprice"),
     )
     lines = p.select(line.alias("value")).unionByName(
         p.where(F.col("p_partkey") % 3 == 0).select(dup_line.alias("value"))
@@ -600,6 +626,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_top3": q_knn_top3,
         "embedding_norms": q_embedding_norms,
         "srp_ann_pairs": q_srp_ann_pairs,
+        "srp_knn_top3": q_srp_knn_top3,
         "pricing_summary": q_pricing_summary,
         "revenue_by_mktsegment": q_revenue_by_mktsegment,
         "nation_region_counts": q_nation_region_counts,
@@ -652,6 +679,30 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
+        "doc_fingerprints": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(array_to_string(toks[i+1:i+4], ' ')),
+                                      1, 8))::BIGINT
+                      for i in range(0, greatest(len(toks) - 4, 0) + 1)] AS hs
+              FROM t
+            )
+            SELECT doc_id,
+                   list_reduce(list_prepend(0::BIGINT, hs),
+                               (a, b) -> xor(a, b)) AS fingerprint
+            FROM w
+        """,
+        "snm_product_dedup": """
+            SELECT p_partkey AS id, p_partkey AS cluster_id
+            FROM part WHERE p_partkey <= 400
+            UNION ALL
+            SELECT p_partkey + 1000000 AS id, p_partkey AS cluster_id
+            FROM part WHERE p_partkey <= 400 AND p_partkey % 3 = 0
+        """,
         # minhash_lsh_pairs: with r=2/b=64 LSH recall at J>=0.5 is 1-1e-8, so
         # the brute-force oracle is exact (verified by the parity harness).
         "minhash_lsh_pairs": _NGRAM_ORACLE,

@@ -102,9 +102,15 @@ def lang_id(col: Column) -> Column:
 
 
 def rolling_fingerprint(toks: Column, window: int = 4) -> Column:
-    """Document fingerprint: xor of xxhash64 over each `window`-token shingle
-    of the word stream (order-sensitive rolling hash). Stable under
+    """Document fingerprint: xor of a 32-bit hash over each `window`-token
+    shingle of the word stream (order-sensitive rolling hash). Stable under
     whitespace changes, sensitive to word order.
+
+    Hash family: first 8 hex digits of md5 of the space-joined window --
+    chosen over xxhash64 because it is reproducible in any engine (DuckDB:
+    ('0x' || substr(md5(w),1,8))::BIGINT), making the fingerprint
+    cross-engine verifiable; the fingerprint's job is dedup-key identity,
+    not adversarial collision resistance.
 
     `toks` must be a MATERIALIZED token-array column (word_tokens_lower
     aliased in a prior select) -- the transform lambda references it per
@@ -113,7 +119,10 @@ def rolling_fingerprint(toks: Column, window: int = 4) -> Column:
     n = F.size(toks)
     shingle_hashes = F.transform(
         F.sequence(F.lit(0), F.greatest(n - F.lit(window), F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(toks, i + F.lit(1), window))), 1, 8),
+            16, 10,
+        ).cast("long"),
     )
     return F.aggregate(
         shingle_hashes,

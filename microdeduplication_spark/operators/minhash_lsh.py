@@ -96,8 +96,35 @@ def candidate_pairs(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
     return banded_self_join(bands, cfg, method="minhash")
 
 
+def hot_bucket_stats(bands: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """One-row skew report for a band table: buckets star-paired by
+    banded_self_join (with the member<->member pairs that star pairing
+    elides -- C(n,2)-(n-1) per bucket) and degenerate buckets dropped
+    outright. Surfaces the pair-level semantics change of the hot-bucket
+    path as a metric instead of leaving it silent; pair-level consumers
+    that need all pairs use exact_hot=True."""
+    sizes = bands.groupBy("band_idx", "band_hash").agg(
+        F.count("*").alias("n")
+    )
+    hot = (F.col("n") > cfg.bucket_cap) & (F.col("n") <= cfg.bucket_drop)
+    dropped = F.col("n") > cfg.bucket_drop
+    elided = F.when(
+        hot,
+        (F.col("n") * (F.col("n") - 1) / 2 - (F.col("n") - 1)).cast("long"),
+    ).otherwise(F.lit(0))
+    zero = F.lit(0).cast("long")
+    return sizes.agg(
+        F.coalesce(F.sum(hot.cast("long")), zero).alias("hot_buckets"),
+        F.coalesce(F.sum(elided), zero).alias("pairs_elided"),
+        F.coalesce(F.sum(dropped.cast("long")), zero).alias("dropped_buckets"),
+        F.coalesce(
+            F.sum(F.when(dropped, F.col("n")).otherwise(0)), zero
+        ).alias("dropped_rows"),
+    )
+
+
 def banded_self_join(
-    bands: DataFrame, cfg: DedupConfig, method: str
+    bands: DataFrame, cfg: DedupConfig, method: str, exact_hot: bool = False
 ) -> DataFrame:
     key = ["band_idx", "band_hash"]
     # the band table feeds 4 branches (sizes, both join sides, hot-bucket
@@ -123,14 +150,43 @@ def banded_self_join(
         )
     )
 
-    # hot buckets: star pairing against the bucket min (linear, skew-proof)
     big = active.where(F.col("bucket_n") > cfg.bucket_cap)
-    big_min = big.groupBy(*key).agg(F.min("file_id").alias("rep"))
-    big_pairs = (
-        big.join(big_min, key)
-        .where(F.col("file_id") != F.col("rep"))
-        .select(F.col("rep").alias("a_id"), F.col("file_id").alias("b_id"))
-    )
+    if exact_hot:
+        # exact mode for pair-level consumers: salted all-pairs. The left
+        # side lands in one of ceil(n/cap) salted sub-buckets; the right
+        # side is replicated to every salt, so each (a,b) pair appears
+        # exactly once (in a's sub-bucket) and the hot bucket's shuffle key
+        # fans out by the salt count instead of hammering one reducer.
+        # O(n^2) output is inherent to exact all-pairs -- the cost is
+        # spread, not removed; the default star mode stays linear.
+        n_salts = F.greatest(
+            F.ceil(F.col("bucket_n") / cfg.bucket_cap).cast("int"), F.lit(1)
+        )
+        a_side = big.withColumn(
+            "salt", F.pmod(F.xxhash64("file_id"), n_salts).cast("int")
+        )
+        b_side = big.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), n_salts - 1))
+        )
+        big_pairs = (
+            a_side.alias("a")
+            .join(b_side.alias("b"), key + ["salt"])
+            .where(F.col("a.file_id") < F.col("b.file_id"))
+            .select(
+                F.col("a.file_id").alias("a_id"),
+                F.col("b.file_id").alias("b_id"),
+            )
+        )
+    else:
+        # hot buckets: star pairing against the bucket min (linear,
+        # skew-proof; elided member<->member pairs are reported by
+        # hot_bucket_stats)
+        big_min = big.groupBy(*key).agg(F.min("file_id").alias("rep"))
+        big_pairs = (
+            big.join(big_min, key)
+            .where(F.col("file_id") != F.col("rep"))
+            .select(F.col("rep").alias("a_id"), F.col("file_id").alias("b_id"))
+        )
 
     return (
         small_pairs.unionByName(big_pairs)

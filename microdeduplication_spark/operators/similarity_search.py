@@ -124,6 +124,65 @@ def srp_signatures(
     return emb.select(F.col(id_col).alias("file_id"), sig.alias("band_hash"))
 
 
+def srp_bucket_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
+    n_planes: int = 8, n_tables: int = 8, seed: int = 42,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k neighbors per query, LSH-bucketed: the 100 TB path for kNN.
+
+    Candidates per query are the corpus vectors sharing an SRP signature
+    with it in ANY of `n_tables` independent hyperplane tables -- an equi
+    join on (table_idx, signature), never a cross join. Candidates are
+    rescored with exact cosine and ranked per query; brute_force_topk is
+    the oracle twin (tests gate recall against it).
+
+    Unlike top-k over a broadcast matrix, both sides scale out: the join
+    shuffles on the bucket key, so adding executors splits bucket work.
+    Queries with fewer than k collisions return fewer rows (ANN semantics);
+    raise n_tables or lower n_planes to trade cost for recall.
+    """
+    from pyspark.sql import Window as W
+
+    def tables_of(df: DataFrame, out_id: str) -> DataFrame:
+        parts = []
+        for t in range(n_tables):
+            s = srp_signatures(
+                df, dim, n_planes, seed + 1000 * t, id_col, vec_col
+            ).select(
+                F.col("file_id").alias(out_id),
+                F.lit(t).alias("band_idx"),
+                "band_hash",
+            )
+            parts.append(s)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    qt = tables_of(queries, "q_id")
+    ct = tables_of(emb, "n_id")
+    cands = (
+        qt.join(ct, ["band_idx", "band_hash"])
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    scored = (
+        cands.join(q, "q_id")
+        .join(c, "n_id")
+        .withColumn("cos", cosine(F.col("q_v"), F.col("n_v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )
+
+
 def srp_bucket_pairs(
     emb: DataFrame, dim: int, n_planes: int = 16, n_tables: int = 4,
     seed: int = 42, threshold: float = 0.9,

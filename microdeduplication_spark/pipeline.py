@@ -202,16 +202,26 @@ def run_pipeline(
             lambda: minhash_lsh.minhash_signatures(shingled, cfg),
             ["shingles"],
         )
+        bands = minhash_lsh.lsh_bands(sigs, cfg)
         cand_parts.append(
             ck.run(
                 "cand_minhash",
-                lambda: minhash_lsh.candidate_pairs(
-                    minhash_lsh.lsh_bands(sigs, cfg), cfg
-                ),
+                lambda: minhash_lsh.candidate_pairs(bands, cfg),
                 ["minhash_sigs"],
             )
         )
         cand_stage_names.append("cand_minhash")
+        cand_built = not ck.metrics[-1].get("cached")
+        if eager_metrics == "count" or (checkpoint_dir is not None and cand_built):
+            # surface star-pairing elision + dropped degenerate buckets:
+            # the hot-bucket path changes pair-level semantics, so the
+            # extent must be a reported metric, never silent. Skipped when
+            # cand_minhash reloaded from checkpoint (nothing was elided in
+            # this run; the original run's manifest already reported it).
+            skew = minhash_lsh.hot_bucket_stats(bands, cfg).first().asDict()
+            ck.metrics.append(
+                {"stage": "cand_minhash_skew", "cached": False, **skew}
+            )
     if "simhash" in passes:
         sims = ck.run(
             "simhash_sigs",

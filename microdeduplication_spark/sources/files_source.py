@@ -71,3 +71,36 @@ def write_stage(df: DataFrame, table: str | None, parquet_path: str | None) -> N
         df.write.mode("overwrite").parquet(parquet_path)
     else:
         raise ValueError("need table or parquet_path")
+
+
+def url_key(url, date):
+    """The reference's document id (IgnoreFunction.java:94-103):
+    `protocol::host::path::query::yyyyMMddHHmmss`, query literally "null"
+    when absent (Java null string-concat) and the WARC date stripped of
+    `-TZ:`. Built with parse_url (SURVEY.md §2.8) -- for the code corpus the
+    (repo,path,commit) key replaces this, but the projection is part of the
+    reference surface.
+    """
+    q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("null"))
+    return F.concat_ws(
+        "::",
+        F.lower(F.parse_url(url, F.lit("PROTOCOL"))),
+        F.parse_url(url, F.lit("HOST")),
+        F.parse_url(url, F.lit("PATH")),
+        q,
+        F.regexp_replace(date, "-|T|Z|:", ""),
+    )
+
+
+#: URL suffixes the reference drops outright (IgnoreFunction.java:32-39)
+IGNORED_URL_SUFFIXES = (".css", ".js", ".ttf", "jquery", ".gz", "robots.txt")
+
+
+def url_suffix_keep(url):
+    """False for URLs whose path ends in an ignored suffix (reference F2,
+    IgnoreFunction.java:105-109)."""
+    path = F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit(""))
+    keep = F.lit(True)
+    for s in IGNORED_URL_SUFFIXES:
+        keep = keep & ~path.endswith(s)
+    return keep

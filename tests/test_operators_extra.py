@@ -198,3 +198,91 @@ def test_multimodal_stub_raises_without_fake(spark):
     with pytest.raises(Exception) as ei:
         extract_features(media, dim=4, deterministic_fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+
+
+def test_hot_bucket_star_elision_and_exact_mode(spark):
+    """A super-cap bucket must (a) report its elided member<->member pairs
+    in hot_bucket_stats, (b) star-pair by default, (c) produce the full
+    all-pairs set under exact_hot=True via the salted self-join."""
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.operators.minhash_lsh import (
+        banded_self_join,
+        hot_bucket_stats,
+    )
+
+    cfg = DedupConfig(bucket_cap=4, bucket_drop=1000)
+    n = 10
+    rows = [(i, 0, 777) for i in range(n)]          # one hot bucket (n=10 > 4)
+    rows += [(100, 1, 5), (101, 1, 5)]              # one small bucket
+    rows += [(i, 2, 9) for i in range(2000)]        # degenerate: dropped
+    bands = spark.createDataFrame(
+        rows, "file_id long, band_idx int, band_hash long"
+    )
+
+    stats = hot_bucket_stats(bands, cfg).first().asDict()
+    assert stats["hot_buckets"] == 1
+    assert stats["pairs_elided"] == n * (n - 1) // 2 - (n - 1)  # 45-9=36
+    assert stats["dropped_buckets"] == 1
+    assert stats["dropped_rows"] == 2000
+
+    star = banded_self_join(bands, cfg, method="t").collect()
+    star_pairs = {(r["a_id"], r["b_id"]) for r in star}
+    assert {(0, i) for i in range(1, n)} | {(100, 101)} == star_pairs
+
+    exact = banded_self_join(bands, cfg, method="t", exact_hot=True).collect()
+    exact_pairs = {(r["a_id"], r["b_id"]) for r in exact}
+    want = {(a, b) for a in range(n) for b in range(a + 1, n)} | {(100, 101)}
+    assert exact_pairs == want
+
+
+def test_pipeline_reports_skew_metrics(spark):
+    """count-mode pipeline metrics include the cand_minhash_skew entry."""
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.pipeline import run_pipeline
+
+    rows = [("r", f"p{i}", "c", "py", f"def f{i}():\n    return {i}\n")
+            for i in range(30)]
+    files = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+    res = run_pipeline(spark, files, DedupConfig(), passes=("minhash",),
+                       eager_metrics="count")
+    skew = [m for m in res.metrics if m.get("stage") == "cand_minhash_skew"]
+    assert len(skew) == 1
+    assert {"hot_buckets", "pairs_elided", "dropped_buckets",
+            "dropped_rows"} <= set(skew[0])
+
+
+def test_srp_topk_recall_vs_bruteforce(spark):
+    """Bucketed top-k must recover the brute-force top-3 for queries whose
+    true neighbors are genuinely near (planted clusters at cos~0.99)."""
+    from microdeduplication_spark.operators.similarity_search import (
+        brute_force_topk,
+        srp_bucket_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    for _ in range(15):                      # 15 clusters x 4 near-dup vectors
+        v = rng.standard_normal(32).astype(np.float64)
+        v /= np.linalg.norm(v)
+        for _ in range(4):
+            jit = v + rng.standard_normal(32) * 0.02
+            rows.append((vid, [float(x) for x in jit]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") % 4 == 0)
+
+    want = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in srp_bucket_topk(
+            emb, queries, k=3, dim=32, n_planes=8, n_tables=8
+        ).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall

@@ -48,3 +48,27 @@ def test_eager_persist_mode_equals_lazy(spark, cfg):
     a = sorted((r["file_id"], r["cluster_id"]) for r in lazy.clusters.collect())
     b = sorted((r["file_id"], r["cluster_id"]) for r in fast.clusters.collect())
     assert a == b
+
+
+def test_url_key_and_suffix_filter(spark):
+    from pyspark.sql import functions as F
+
+    from microdeduplication_spark.sources.files_source import (
+        url_key,
+        url_suffix_keep,
+    )
+
+    rows = [
+        ("http://g.delfi.ee/s/img/back_grey.gif", "2015-02-14T09:09:21Z"),
+        ("https://ex.ee/a/b?x=1&y=2", "2016-01-01T00:00:00Z"),
+        ("http://ex.ee/static/app.js", "2016-01-01T00:00:00Z"),
+    ]
+    df = spark.createDataFrame(rows, ["url", "date"])
+    got = df.select(
+        url_key(F.col("url"), F.col("date")).alias("k"),
+        url_suffix_keep(F.col("url")).alias("keep"),
+    ).collect()
+    # the reference's documented nutch-style example shape
+    assert got[0]["k"] == "http::g.delfi.ee::/s/img/back_grey.gif::null::20150214090921"
+    assert got[1]["k"] == "https::ex.ee::/a/b::x=1&y=2::20160101000000"
+    assert [r["keep"] for r in got] == [True, True, False]
