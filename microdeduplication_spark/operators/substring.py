@@ -73,10 +73,20 @@ def verify_containment(
     score = |A cap B| / min(|A|, |B|) on distinct line-hash sets; JVM-side
     array_intersect, no Python.
     """
-    sets_a = lined.select(
+    # semi-join reduction: filter the wide line-set table to candidate ids
+    # before the pair joins (same plan shape as verify.verify_jaccard)
+    ids = (
+        candidates.select(F.col("a_id").alias("file_id"))
+        .unionByName(candidates.select(F.col("b_id").alias("file_id")))
+        .distinct()
+    )
+    reduced = lined.join(F.broadcast(ids), "file_id", "left_semi").persist()
+    # persist: both pair-join sides read `reduced`; without it the whole
+    # semi-join subtree (incl. the ids broadcast) is planned twice
+    sets_a = reduced.select(
         F.col("file_id").alias("a_id"), F.col("line_set").alias("a_set")
     )
-    sets_b = lined.select(
+    sets_b = reduced.select(
         F.col("file_id").alias("b_id"), F.col("line_set").alias("b_set")
     )
     inter = F.size(F.array_intersect("a_set", "b_set"))

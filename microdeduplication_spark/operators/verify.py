@@ -13,12 +13,15 @@ computed with JVM-side array_intersect on sorted distinct arrays: no Python,
 no recomputation of the sets per pair (the reference recomputes its tf maps
 for every window comparison).
 
-Scale notes: the two id->shingles joins are the widest shuffles of the
-pipeline (candidate count x shingle-array payload). Candidates are
-repartitioned on the join key and the shingle table is reused for both sides;
-at a 1000-executor scale the shingle table would be bucketed by file_id so
-both joins co-locate without a shuffle (df.write.bucketBy -- documented here,
-exercised in local mode via AQE).
+Scale notes: the id->shingles joins carry the widest payload of the
+pipeline (shingle arrays). The shingle table is first reduced with a
+semi-join on the candidate id set -- candidate ids are a tiny fraction of
+the corpus, so the wide array table is filtered by a (runtime-broadcast)
+id list instead of being hash-exchanged in full; only the reduced table
+enters the pair joins. At a 1000-executor scale the shingle table would
+additionally be bucketed by file_id so the residual joins co-locate
+without a shuffle (df.write.bucketBy -- documented here, exercised in
+local mode via AQE).
 """
 
 from __future__ import annotations
@@ -38,10 +41,20 @@ def verify_jaccard(
     methods should be distinct-ed on (a_id,b_id) before calling to avoid
     verifying a pair twice.
     """
-    sets_a = shingled.select(
+    ids = (
+        candidates.select(F.col("a_id").alias("file_id"))
+        .unionByName(candidates.select(F.col("b_id").alias("file_id")))
+        .distinct()
+    )
+    # candidate ids are tiny relative to the corpus: broadcast them so
+    # the wide array table is filtered in place, never hash-exchanged
+    reduced = shingled.join(F.broadcast(ids), "file_id", "left_semi").persist()
+    # persist: both pair-join sides read `reduced`; without it the whole
+    # semi-join subtree (incl. the ids broadcast) is planned twice
+    sets_a = reduced.select(
         F.col("file_id").alias("a_id"), F.col("shingles").alias("a_sh")
     )
-    sets_b = shingled.select(
+    sets_b = reduced.select(
         F.col("file_id").alias("b_id"), F.col("shingles").alias("b_sh")
     )
     inter = F.size(F.array_intersect("a_sh", "b_sh"))

@@ -79,6 +79,8 @@ class _Checkpointer:
         # record the exact build_ids they consumed, so rebuilding any upstream
         # stage (new build_id) invalidates the whole downstream suffix.
         self.build_ids: dict[str, str] = {}
+        # count-mode stages awaiting materialization (see sync())
+        self._pending: list[dict] = []
 
     def _paths(self, stage: str) -> tuple[str, str]:
         return (
@@ -92,13 +94,13 @@ class _Checkpointer:
         if self.root is None:
             df = build()
             if self.eager == "count":
-                # profiling mode: materialize + time each stage (serializes!)
+                # throughput/profiling mode: persist now, materialize at the
+                # next sync() -- independent stages of one dependency level
+                # count concurrently (Spark schedules the jobs in parallel),
+                # so forced materialization no longer serializes the DAG
                 df = df.persist()
-                rows = df.count()
-                self.metrics.append(
-                    {"stage": stage, "cached": False, "rows": rows,
-                     "wall_ms": int((time.monotonic() - t0) * 1000),
-                     "inputs": input_stages}
+                self._pending.append(
+                    {"stage": stage, "df": df, "inputs": input_stages}
                 )
             elif self.eager:
                 # throughput mode: persist so shared lineage computes once,
@@ -153,6 +155,54 @@ class _Checkpointer:
         self.metrics.append(man)
         return out
 
+    def defer_stats(self, stage: str, df: DataFrame) -> None:
+        """Enqueue a tiny one-row stats DataFrame whose values become a
+        metrics entry at the next sync(), materialized concurrently with
+        the level's stages (so the stats job costs no extra wall time)."""
+        self._pending.append({"stage": stage, "df": df, "inputs": [],
+                              "first": True})
+
+    def sync(self) -> None:
+        """Materialize every pending count-mode stage, concurrently.
+
+        Called at dependency-level boundaries: stages inside one level are
+        independent, so their counts run as parallel Spark jobs and the
+        level's wall time is max (not sum) of its stages -- the fix for the
+        round-1 e2e scaling gap, where serialized per-stage actions left
+        cores idle between jobs. Each stage is persisted before its count,
+        and every upstream level is already materialized, so concurrent jobs
+        never race to populate shared lineage caches."""
+        if not self._pending:
+            return
+        pending, self._pending = self._pending, []
+
+        def _mat(p: dict) -> None:
+            t0 = time.monotonic()
+            if p.get("first"):
+                p["row"] = p["df"].first().asDict()
+            else:
+                p["rows"] = p["df"].count()
+            p["wall_ms"] = int((time.monotonic() - t0) * 1000)
+
+        if len(pending) == 1:
+            _mat(pending[0])
+        else:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(pending)) as ex:
+                list(ex.map(_mat, pending))
+        for p in pending:
+            if p.get("first"):
+                self.metrics.append(
+                    {"stage": p["stage"], "cached": False, **p["row"]}
+                )
+            else:
+                self.metrics.append(
+                    {"stage": p["stage"], "cached": False, "rows": p["rows"],
+                     "wall_ms": p["wall_ms"], "inputs": p["inputs"],
+                     "overlapped": len(pending) > 1}
+                )
+
 
 def run_pipeline(
     spark: SparkSession,
@@ -172,12 +222,18 @@ def run_pipeline(
     ck = _Checkpointer(spark, checkpoint_dir, cfg, eager=eager_metrics,
                        extra_key=tuple(passes))
 
+    if not any(p in passes for p in ALL_PASSES):
+        raise ValueError("at least one pass required")
+
+    # ---- level 0: ingest ------------------------------------------------
     normalized = ck.run(
         "normalized", lambda: exact_dedup.ingest_normalize(files, cfg), []
     )
     if checkpoint_dir is None:
         normalized = normalized.persist()
+    ck.sync()
 
+    # ---- level 1: exact edges + shingles (independent) -------------------
     groups = exact_dedup.exact_groups(normalized)
     ex_edges = ck.run(
         "exact_edges",
@@ -193,49 +249,34 @@ def run_pipeline(
     )
     if checkpoint_dir is None:
         shingled = shingled.persist()
+    ck.sync()
 
+    # ---- level 2: signatures (one scan computes BOTH families) +
+    #               substring fingerprints (independent of signatures) ----
     cand_parts: list[DataFrame] = []
     cand_stage_names: list[str] = []
-    if "minhash" in passes:
-        sigs = ck.run(
-            "minhash_sigs",
-            lambda: minhash_lsh.minhash_signatures(shingled, cfg),
-            ["shingles"],
-        )
-        bands = minhash_lsh.lsh_bands(sigs, cfg)
-        cand_parts.append(
-            ck.run(
-                "cand_minhash",
-                lambda: minhash_lsh.candidate_pairs(bands, cfg),
-                ["minhash_sigs"],
+    sigs = None
+    if "minhash" in passes or "simhash" in passes:
+
+        def _build_signatures() -> DataFrame:
+            # a single pass over the persisted shingle table evaluates both
+            # Arrow UDFs per batch: half the scans/actions of separate
+            # minhash_sigs/simhash_sigs stages
+            from microdeduplication_spark.functions.hashing import (
+                make_minhash_udf,
+                make_simhash_udf,
             )
-        )
-        cand_stage_names.append("cand_minhash")
-        cand_built = not ck.metrics[-1].get("cached")
-        if eager_metrics == "count" or (checkpoint_dir is not None and cand_built):
-            # surface star-pairing elision + dropped degenerate buckets:
-            # the hot-bucket path changes pair-level semantics, so the
-            # extent must be a reported metric, never silent. Skipped when
-            # cand_minhash reloaded from checkpoint (nothing was elided in
-            # this run; the original run's manifest already reported it).
-            skew = minhash_lsh.hot_bucket_stats(bands, cfg).first().asDict()
-            ck.metrics.append(
-                {"stage": "cand_minhash_skew", "cached": False, **skew}
-            )
-    if "simhash" in passes:
-        sims = ck.run(
-            "simhash_sigs",
-            lambda: simhash_op.simhash_signatures(shingled, cfg),
-            ["shingles"],
-        )
-        cand_parts.append(
-            ck.run(
-                "cand_simhash",
-                lambda: simhash_op.candidate_pairs(sims, cfg),
-                ["simhash_sigs"],
-            )
-        )
-        cand_stage_names.append("cand_simhash")
+
+            cols = [F.col("file_id")]
+            if "minhash" in passes:
+                mh = make_minhash_udf(cfg.num_perms, cfg.seed)
+                cols.append(mh(F.col("shingles")).alias("sig"))
+            if "simhash" in passes:
+                sh = make_simhash_udf(cfg.simhash_bits)
+                cols.append(sh(F.col("shingles")).alias("sim"))
+            return shingled.select(*cols)
+
+        sigs = ck.run("signatures", _build_signatures, ["shingles"])
     lined = None
     if "substring" in passes:
         lined = substring.line_hash_sets(reps)
@@ -249,9 +290,54 @@ def run_pipeline(
             )
         )
         cand_stage_names.append("cand_substring")
+    ck.sync()
 
-    if not cand_parts:
-        raise ValueError("at least one pass required")
+    # ---- level 3: candidate joins (independent given signatures) ---------
+    bands = None
+    if "minhash" in passes:
+        bands = minhash_lsh.lsh_bands(sigs.select("file_id", "sig"), cfg)
+        cand_parts.append(
+            ck.run(
+                "cand_minhash",
+                lambda: minhash_lsh.candidate_pairs(bands, cfg),
+                ["signatures"],
+            )
+        )
+        cand_stage_names.append("cand_minhash")
+        if eager_metrics == "count":
+            # star-pairing elision + dropped degenerate buckets: the
+            # hot-bucket path changes pair-level semantics, so the extent
+            # must be a reported metric, never silent. The tiny stats job
+            # rides the level-3 thread pool, overlapping cand_minhash.
+            ck.defer_stats(
+                "cand_minhash_skew", minhash_lsh.hot_bucket_stats(bands, cfg)
+            )
+    if "simhash" in passes:
+        cand_parts.append(
+            ck.run(
+                "cand_simhash",
+                lambda: simhash_op.candidate_pairs(
+                    sigs.select("file_id", "sim"), cfg
+                ),
+                ["signatures"],
+            )
+        )
+        cand_stage_names.append("cand_simhash")
+    ck.sync()
+
+    if bands is not None and checkpoint_dir is not None:
+        built = any(
+            m.get("stage") == "cand_minhash" and not m.get("cached")
+            for m in ck.metrics
+        )
+        if built:
+            # checkpoint-mode skew report (skipped when cand_minhash
+            # reloaded: nothing was elided in this run; the original run's
+            # manifest already reported it)
+            skew = minhash_lsh.hot_bucket_stats(bands, cfg).first().asDict()
+            ck.metrics.append(
+                {"stage": "cand_minhash_skew", "cached": False, **skew}
+            )
     candidates = cand_parts[0]
     for p in cand_parts[1:]:
         candidates = candidates.unionByName(p)
@@ -275,6 +361,7 @@ def run_pipeline(
     # (or toggling a pass -- also folded into cfg_hash) invalidates it
     verified = ck.run("verified", lambda: verified,
                       ["shingles"] + cand_stage_names)
+    ck.sync()
 
     edges = verified.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -289,6 +376,7 @@ def run_pipeline(
         )
 
     clusters = ck.run("clusters", _build_clusters, ["verified", "exact_edges"])
+    ck.sync()
 
     return PipelineResult(
         clusters=clusters,

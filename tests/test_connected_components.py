@@ -27,12 +27,20 @@ def _uf_oracle(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _check(spark, edges: list[tuple[int, int]]):
+    """Both the driver fast path (default thresholds) and the distributed
+    large-star/small-star loop (driver_threshold=0) must equal the oracle."""
     df = spark.createDataFrame(edges, ["src", "dst"])
-    got = {
+    want = _uf_oracle(edges)
+    got_fast = {
         r["file_id"]: r["cluster_id"]
         for r in connected_components(df).collect()
     }
-    assert got == _uf_oracle(edges)
+    assert got_fast == want
+    got_dist = {
+        r["file_id"]: r["cluster_id"]
+        for r in connected_components(df, driver_threshold=0).collect()
+    }
+    assert got_dist == want
 
 
 def test_single_edge(spark):

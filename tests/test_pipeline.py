@@ -116,12 +116,13 @@ def test_resume_idempotent(spark, corpus, files_df, cfg, tmp_path_factory):
     # delete a mid-pipeline stage -> it and downstream recompute, same result
     import shutil, os
 
-    shutil.rmtree(os.path.join(ckdir, "minhash_sigs"))
-    os.remove(os.path.join(ckdir, "minhash_sigs.manifest.json"))
+    shutil.rmtree(os.path.join(ckdir, "signatures"))
+    os.remove(os.path.join(ckdir, "signatures.manifest.json"))
     r3 = run_pipeline(spark, files_df, cfg, checkpoint_dir=ckdir)
     cached = {m["stage"]: m.get("cached") for m in r3.metrics}
     assert cached["normalized"] is True
-    assert cached["minhash_sigs"] is False
+    assert cached["signatures"] is False
     assert cached["cand_minhash"] is False
+    assert cached["cand_simhash"] is False
     c3 = sorted((r["file_id"], r["cluster_id"]) for r in r3.clusters.collect())
     assert c1 == c3
