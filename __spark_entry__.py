@@ -101,9 +101,22 @@ def _doc_ngrams(d: DataFrame, k: int = 3) -> DataFrame:
     return t.select("doc_id", grams.alias("g"))
 
 
+BRUTE_FORCE_MAX_DOCS = 100_000  # theta-join ground truth: oracle scale only
+
+
 def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
-    """Brute-force token-3-gram Jaccard >= 0.5 (near-dup ground truth)."""
-    g = _doc_ngrams(_docs(spark, sf_dir))
+    """Brute-force token-3-gram Jaccard >= 0.5: the ORACLE-ONLY ground
+    truth for minhash_lsh_pairs. A theta-join (a_id < b_id) is a cartesian
+    product by construction, so it is guarded against being pointed at a
+    big table -- the production path at scale is q_minhash_lsh_pairs."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    if n > BRUTE_FORCE_MAX_DOCS:
+        raise ValueError(
+            f"ngram_jaccard_pairs is the brute-force oracle twin of "
+            f"minhash_lsh_pairs; refusing {n} docs (> {BRUTE_FORCE_MAX_DOCS})"
+        )
+    g = _doc_ngrams(d)
     a = g.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
     b = g.select(F.col("doc_id").alias("b_id"), F.col("g").alias("gb"))
     inter = F.size(F.array_intersect("ga", "gb"))
@@ -512,6 +525,42 @@ def q_entity_routing(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_quad_type_stats(spark, sf_dir) -> DataFrame:
+    """Reference `statistics` subcommand (SURVEY.md A1/F7/W3,
+    RDFStatistics.java:38-128): synthesize N-quad lines from `part`
+    (type quads + non-type quads + malformed 3-field lines), parse with the
+    4-field filter, count records per type descending."""
+    from microdeduplication_spark.sources.text_source import (
+        parse_quads,
+        type_statistics,
+    )
+
+    p = _t(spark, sf_dir, "part")
+    pk = F.col("p_partkey")
+    obj = (
+        F.when(pk % 3 == 0, F.lit("http://schema.org/Product"))
+        .when(pk % 3 == 1, F.lit("http://schema.org/Offer"))
+        .otherwise(F.lit("http://schema.org/Person"))
+    )
+    type_line = F.format_string(
+        "<k%s>, <node%s>, "
+        "<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>, <%s>",
+        pk, pk, obj,
+    )
+    # a non-type predicate (excluded by the contains-filter) and a malformed
+    # 3-field line (dropped by the quad filter, reference F7)
+    name_line = F.format_string(
+        "<k%s>, <node%s>, <http://schema.org/Product/name>, <x>", pk, pk
+    )
+    bad_line = F.format_string("<k%s>, <node%s>, <broken>", pk, pk)
+    lines = (
+        p.select(type_line.alias("value"))
+        .unionByName(p.select(name_line.alias("value")))
+        .unionByName(p.select(bad_line.alias("value")))
+    )
+    return type_statistics(parse_quads(lines))
+
+
 def q_eval_keys(spark, sf_dir) -> DataFrame:
     """Reference evaluation-key projection (SURVEY.md P5,
     EvaluateDeduplication.java:40-48): product lines built from `part` with
@@ -638,6 +687,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "entity_formation": q_entity_formation,
         "entity_routing": q_entity_routing,
         "eval_keys": q_eval_keys,
+        "quad_type_stats": q_quad_type_stats,
         "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
     }
@@ -902,6 +952,13 @@ def oracle_sql() -> dict[str, str]:
                      AS provider,
                    '20180101' AS time_stamp
             FROM g WHERE p_partkey % 6 = 0
+        """,
+        "quad_type_stats": """
+            SELECT CASE WHEN p_partkey % 3 = 0 THEN 'http://schema.org/Product'
+                        WHEN p_partkey % 3 = 1 THEN 'http://schema.org/Offer'
+                        ELSE 'http://schema.org/Person' END AS obj,
+                   count(*) AS n
+            FROM part GROUP BY 1
         """,
         "eval_keys": """
             SELECT CASE WHEN p_partkey % 3 IN (0, 1)

@@ -107,6 +107,8 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "snm_window_pairs",
                 "quality_scores",
                 "cosine_similar_pairs",
+                "srp_knn_top3",
+                "entity_routing",
                 "pricing_summary",
                 "revenue_by_mktsegment",
                 "user_sessions",

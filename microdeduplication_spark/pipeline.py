@@ -79,8 +79,9 @@ class _Checkpointer:
         # record the exact build_ids they consumed, so rebuilding any upstream
         # stage (new build_id) invalidates the whole downstream suffix.
         self.build_ids: dict[str, str] = {}
-        # count-mode stages awaiting materialization (see sync())
-        self._pending: list[dict] = []
+        # count-mode async materialization: stage -> Future (see _submit)
+        self._futures: dict = {}
+        self._executor = None
 
     def _paths(self, stage: str) -> tuple[str, str]:
         return (
@@ -94,14 +95,15 @@ class _Checkpointer:
         if self.root is None:
             df = build()
             if self.eager == "count":
-                # throughput/profiling mode: persist now, materialize at the
-                # next sync() -- independent stages of one dependency level
-                # count concurrently (Spark schedules the jobs in parallel),
-                # so forced materialization no longer serializes the DAG
+                # throughput/profiling mode: persist now, materialize
+                # asynchronously once the stage's INPUT stages finish --
+                # the whole stage DAG runs as concurrent Spark jobs with
+                # dependency-aware ordering, so forced materialization no
+                # longer serializes anything (Spark's per-block cache locks
+                # make even an early touch of shared lineage compute each
+                # partition exactly once)
                 df = df.persist()
-                self._pending.append(
-                    {"stage": stage, "df": df, "inputs": input_stages}
-                )
+                self._submit(stage, df, input_stages)
             elif self.eager:
                 # throughput mode: persist so shared lineage computes once,
                 # but add no extra action -- the first consumer materializes
@@ -155,53 +157,68 @@ class _Checkpointer:
         self.metrics.append(man)
         return out
 
-    def defer_stats(self, stage: str, df: DataFrame) -> None:
-        """Enqueue a tiny one-row stats DataFrame whose values become a
-        metrics entry at the next sync(), materialized concurrently with
-        the level's stages (so the stats job costs no extra wall time)."""
-        self._pending.append({"stage": stage, "df": df, "inputs": [],
-                              "first": True})
+    def _submit(self, stage: str, df: DataFrame, input_stages: list[str],
+                first: bool = False) -> None:
+        """Schedule a stage's materialization on the async executor.
 
-    def sync(self) -> None:
-        """Materialize every pending count-mode stage, concurrently.
-
-        Called at dependency-level boundaries: stages inside one level are
-        independent, so their counts run as parallel Spark jobs and the
-        level's wall time is max (not sum) of its stages -- the fix for the
-        round-1 e2e scaling gap, where serialized per-stage actions left
-        cores idle between jobs. Each stage is persisted before its count,
-        and every upstream level is already materialized, so concurrent jobs
-        never race to populate shared lineage caches."""
-        if not self._pending:
-            return
-        pending, self._pending = self._pending, []
-
-        def _mat(p: dict) -> None:
-            t0 = time.monotonic()
-            if p.get("first"):
-                p["row"] = p["df"].first().asDict()
-            else:
-                p["rows"] = p["df"].count()
-            p["wall_ms"] = int((time.monotonic() - t0) * 1000)
-
-        if len(pending) == 1:
-            _mat(pending[0])
-        else:
+        The task blocks on its input stages' futures, then runs one action
+        (count, or first() for one-row stats tables). Stages whose inputs
+        are ready run as concurrent Spark jobs -- the wall time of the
+        pipeline approaches max(critical path latency, total CPU / cores)
+        instead of the sum of per-stage walls (the round-1 e2e scaling
+        gap). metrics.append is GIL-atomic; entry order is completion
+        order, consumers look entries up by stage name."""
+        if self._executor is None:
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(max_workers=len(pending)) as ex:
-                list(ex.map(_mat, pending))
-        for p in pending:
-            if p.get("first"):
+            self._executor = ThreadPoolExecutor(
+                max_workers=12, thread_name_prefix="stage-mat"
+            )
+        deps = [self._futures[s] for s in input_stages if s in self._futures]
+
+        def task() -> None:
+            for d in deps:
+                d.result()
+            t0 = time.monotonic()
+            if first:
+                row = df.first().asDict()
                 self.metrics.append(
-                    {"stage": p["stage"], "cached": False, **p["row"]}
+                    {"stage": stage, "cached": False, **row}
                 )
             else:
+                rows = df.count()
                 self.metrics.append(
-                    {"stage": p["stage"], "cached": False, "rows": p["rows"],
-                     "wall_ms": p["wall_ms"], "inputs": p["inputs"],
-                     "overlapped": len(pending) > 1}
+                    {"stage": stage, "cached": False, "rows": rows,
+                     "wall_ms": int((time.monotonic() - t0) * 1000),
+                     "inputs": input_stages, "async": True}
                 )
+
+        self._futures[stage] = self._executor.submit(task)
+
+    def defer_stats(self, stage: str, df: DataFrame,
+                    input_stages: list[str] = ()) -> None:
+        """Schedule a tiny one-row stats DataFrame whose values become a
+        metrics entry; rides the async executor so the stats job overlaps
+        the stage work instead of adding a sequential job."""
+        self._submit(stage, df, list(input_stages), first=True)
+
+    def wait(self, *stages: str) -> None:
+        """Block until the named stages have materialized (propagates any
+        stage failure). Needed before builds that run driver-side actions
+        of their own (connected components)."""
+        for s in stages:
+            f = self._futures.get(s)
+            if f is not None:
+                f.result()
+
+    def sync(self) -> None:
+        """Block until every scheduled stage has materialized."""
+        for f in list(self._futures.values()):
+            f.result()
+        if self._executor is not None:
+            self._executor.shutdown(wait=True)
+            self._executor = None
+        self._futures.clear()
 
 
 def run_pipeline(
@@ -231,7 +248,6 @@ def run_pipeline(
     )
     if checkpoint_dir is None:
         normalized = normalized.persist()
-    ck.sync()
 
     # ---- level 1: exact edges + shingles (independent) -------------------
     groups = exact_dedup.exact_groups(normalized)
@@ -249,7 +265,6 @@ def run_pipeline(
     )
     if checkpoint_dir is None:
         shingled = shingled.persist()
-    ck.sync()
 
     # ---- level 2: signatures (one scan computes BOTH families) +
     #               substring fingerprints (independent of signatures) ----
@@ -290,7 +305,6 @@ def run_pipeline(
             )
         )
         cand_stage_names.append("cand_substring")
-    ck.sync()
 
     # ---- level 3: candidate joins (independent given signatures) ---------
     bands = None
@@ -310,7 +324,9 @@ def run_pipeline(
             # must be a reported metric, never silent. The tiny stats job
             # rides the level-3 thread pool, overlapping cand_minhash.
             ck.defer_stats(
-                "cand_minhash_skew", minhash_lsh.hot_bucket_stats(bands, cfg)
+                "cand_minhash_skew",
+                minhash_lsh.hot_bucket_stats(bands, cfg),
+                input_stages=["signatures"],
             )
     if "simhash" in passes:
         cand_parts.append(
@@ -323,7 +339,6 @@ def run_pipeline(
             )
         )
         cand_stage_names.append("cand_simhash")
-    ck.sync()
 
     if bands is not None and checkpoint_dir is not None:
         built = any(
@@ -361,7 +376,6 @@ def run_pipeline(
     # (or toggling a pass -- also folded into cfg_hash) invalidates it
     verified = ck.run("verified", lambda: verified,
                       ["shingles"] + cand_stage_names)
-    ck.sync()
 
     edges = verified.select(
         F.col("a_id").alias("src"), F.col("b_id").alias("dst")
@@ -375,6 +389,9 @@ def run_pipeline(
             F.coalesce("cluster_id", "file_id").alias("cluster_id"),
         )
 
+    # the clusters build runs driver-side actions (connected components),
+    # so its inputs must be materialized before build() executes
+    ck.wait("verified", "exact_edges")
     clusters = ck.run("clusters", _build_clusters, ["verified", "exact_edges"])
     ck.sync()
 

@@ -6,6 +6,13 @@ BASELINE.md) the two cluster sizes are evidenced as two local[] parallelism
 levels on identical input. Each level runs in a fresh subprocess (fresh JVM:
 no warm-cache bleed between levels).
 
+Each level is CPU-PINNED with `taskset -c 0..N-1`: local[N] alone only caps
+task slots -- JVM GC/shuffle threads and the Arrow UDF python workers run
+outside that budget (measured: a local[2] run burns ~2.6 cores), which
+inflates the small-N baseline and understates efficiency. Pinning bounds the
+whole process tree to N CPUs, which is what an N-core cluster node actually
+provides.
+
 Usage: PYTHONPATH=/root/repo python tools/scaling_bench.py [N] [sf_dir]
 Appends a results table to BENCH/BASELINE.md and prints a JSON summary.
 """
@@ -14,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -22,15 +30,18 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_level(cpus: int, sf_dir: str) -> dict:
-    """One bench pipeline run in a fresh interpreter/JVM."""
+    """One bench pipeline run in a fresh interpreter/JVM, pinned to `cpus`."""
     code = (
         "import json, sys; sys.path.insert(0, %r); import bench; "
         "print('RESULT ' + json.dumps(bench.run(%r, %d, skip_queries=True)))"
         % (REPO, sf_dir, cpus)
     )
+    pin = (
+        ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
+    )
     t0 = time.monotonic()
     p = subprocess.run(
-        [sys.executable, "-c", code],
+        pin + [sys.executable, "-c", code],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
     )
     if p.returncode != 0:
