@@ -24,8 +24,16 @@ class DedupConfig:
 
     # --- SimHash ---------------------------------------------------------
     simhash_bits: int = 64
-    simhash_tables: int = 4      # split 64 bits into 4 x 16-bit probe keys
-    hamming_threshold: int = 3   # 4 tables guarantee recall for distance <= 3
+    simhash_tables: int = 4      # split 64 bits into 4 x 16-bit blocks
+    # probe keys are CONCATENATIONS of `simhash_block_combo` distinct blocks
+    # (all C(tables, combo) combinations). Pigeonhole guarantee: at Hamming
+    # distance h, at most h blocks are dirty, so a fully-clean combo exists
+    # whenever h <= tables - combo -- every such pair shares >= 1 bucket.
+    # combo=1 is classic block probing (16-bit keys, h <= 3). The 10^12-file
+    # preset is tables=8, combo=4: 70 probes/file, 32-bit keys (~230 rows
+    # per bucket at 10^12 files -- under bucket_cap), guarantee h <= 4.
+    simhash_block_combo: int = 1
+    hamming_threshold: int = 3   # must be <= simhash_tables - simhash_block_combo
 
     # --- substring (windowed line-hash fingerprint) pass -----------------
     substr_window: int = 8       # consecutive normalized lines per fingerprint
@@ -56,6 +64,15 @@ class DedupConfig:
             )
         if self.simhash_bits % self.simhash_tables != 0:
             raise ValueError("simhash_bits must divide evenly into simhash_tables")
+        if not (1 <= self.simhash_block_combo <= self.simhash_tables):
+            raise ValueError("simhash_block_combo must be in [1, simhash_tables]")
+        if self.hamming_threshold > self.simhash_tables - self.simhash_block_combo:
+            raise ValueError(
+                f"hamming_threshold {self.hamming_threshold} exceeds the "
+                f"pigeonhole guarantee of {self.simhash_tables} blocks with "
+                f"combo {self.simhash_block_combo} "
+                f"(max {self.simhash_tables - self.simhash_block_combo})"
+            )
 
     @property
     def simhash_band_bits(self) -> int:

@@ -13,11 +13,17 @@ in at most 3 of the 4 blocks, so by pigeonhole they agree on at least one
 block => they share at least one bucket. Candidates are then filtered to
 bit_count(a XOR b) <= hamming_threshold, JVM-side.
 
-Scale notes: at 10^12 files, 16-bit blocks are too coarse (10^12/2^16 rows
-per bucket); production configs raise simhash_tables and key bits together
-(e.g. Manku's 6 tables x ~29 bits for h=3). The block width is derived from
-the config so that trade-off is one knob; the bucket cap/star-pairing and
-drop logic are shared with the LSH join (minhash_lsh.banded_self_join).
+Scale notes: at 10^12 files, single 16-bit blocks are too coarse
+(10^12/2^16 rows per bucket). The probe keys therefore generalize to
+CONCATENATIONS of `simhash_block_combo` distinct blocks over all
+C(tables, combo) combinations (Manku §3's block-permutation tables,
+expressed as combinations): at Hamming distance h at most h blocks differ,
+so a fully-clean combo exists whenever h <= tables - combo, and the pair
+shares that bucket. The 10^12 preset is tables=8/combo=4: 70 probes per
+file with 32-bit keys (~230 rows per bucket at 10^12 -- under bucket_cap),
+guaranteeing h <= 4; the default stays tables=4/combo=1 (h <= 3). Bucket
+cap/star-pairing and drop logic are shared with the LSH join
+(minhash_lsh.banded_self_join).
 """
 
 from __future__ import annotations
@@ -37,20 +43,30 @@ def simhash_signatures(shingled: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def simhash_bands(sims: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(file_id, band_idx, band_hash) where band_hash = bit-block band_idx of sim."""
+    """(file_id, band_idx, band_hash): one probe row per block combination.
+
+    band_idx enumerates the C(tables, combo) combinations (driver-side
+    itertools -- tens at most); band_hash concatenates the combo's blocks
+    (block j shifted into slot position). combo=1 reduces to classic
+    per-block probing."""
+    from itertools import combinations
+
     bb = cfg.simhash_band_bits
     mask = (1 << bb) - 1
-    # simhash_tables is tiny (4): unroll the block list driver-side so each
-    # element is a plain shift+mask expression (shiftrightunsigned needs a
-    # literal bit count)
-    blocks = F.array(
-        *[
-            F.shiftrightunsigned(F.col("sim"), j * bb).bitwiseAND(F.lit(mask))
-            for j in range(cfg.simhash_tables)
-        ]
-    )
+
+    def block(j: int):
+        # shiftrightunsigned needs a literal bit count -- unrolled driver-side
+        return F.shiftrightunsigned(F.col("sim"), j * bb).bitwiseAND(F.lit(mask))
+
+    combos = list(combinations(range(cfg.simhash_tables), cfg.simhash_block_combo))
+    keys = []
+    for combo in combos:
+        key = F.lit(0).cast("long")
+        for slot, j in enumerate(combo):
+            key = key + F.shiftleft(block(j), slot * bb)
+        keys.append(key)
     return sims.select(
-        "file_id", F.posexplode(blocks).alias("band_idx", "band_hash")
+        "file_id", F.posexplode(F.array(*keys)).alias("band_idx", "band_hash")
     )
 
 

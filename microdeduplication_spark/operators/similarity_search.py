@@ -112,7 +112,11 @@ def srp_signatures(
     """Signed-random-projection signature (int bucket of n_planes bits).
 
     Hyperplanes are a driver-side (n_planes, dim) float array folded into the
-    plan as literals; the per-row work is n_planes JVM dot products.
+    plan as literals; the per-row work is n_planes JVM dot products. Kept as
+    the no-Python reference path; the multi-table production path is
+    srp_signature_table (one Arrow/numpy matmul for every table at once --
+    the per-plane Column dot evaluates interpreted and measured ~50x slower
+    at 8 planes x 8 tables).
     """
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_planes, dim)).astype(np.float32)
@@ -122,6 +126,57 @@ def srp_signatures(
         bit = (dot(F.col(vec_col), plane) > 0).cast("long")
         sig = sig + F.shiftleft(bit, j)
     return emb.select(F.col(id_col).alias("file_id"), sig.alias("band_hash"))
+
+
+def _srp_planes(dim: int, n_planes: int, n_tables: int, seed: int) -> np.ndarray:
+    """(n_tables * n_planes, dim) float64 hyperplanes; table t uses the same
+    generator family as srp_signatures (seed + 1000*t), so both paths use
+    identical hyperplanes (summation order can differ only at exact-zero
+    dot products)."""
+    blocks = []
+    for t in range(n_tables):
+        rng = np.random.default_rng(seed + 1000 * t)
+        blocks.append(rng.standard_normal((n_planes, dim)).astype(np.float32))
+    return np.concatenate(blocks).astype(np.float64)
+
+
+def srp_signature_table(
+    emb: DataFrame, dim: int, n_planes: int = 8, n_tables: int = 8,
+    seed: int = 42, id_col: str = "vec_id", vec_col: str = "embedding",
+    out_id: str = "file_id",
+) -> DataFrame:
+    """(out_id, band_idx, band_hash): every table's SRP bucket in ONE pass.
+
+    One broadcast (n_tables*n_planes, dim) matrix, one float64 matmul per
+    Arrow batch inside mapInPandas, bits packed per table -- no per-plane
+    Column expressions, no per-row Python.
+    """
+    import pandas as pd
+
+    planes = _srp_planes(dim, n_planes, n_tables, seed)
+    bc = emb.sparkSession.sparkContext.broadcast(planes)
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def op(batches):
+        mat = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            bits = (v @ mat.T) > 0                      # (rows, tables*planes)
+            bits = bits.reshape(len(ids), n_tables, n_planes)
+            hashes = (bits * weights).sum(axis=2)       # (rows, tables)
+            out_ids = np.repeat(ids, n_tables)
+            tbl = np.tile(np.arange(n_tables, dtype=np.int32), len(ids))
+            yield pd.DataFrame(
+                {out_id: out_ids, "band_idx": tbl, "band_hash": hashes.ravel()}
+            )
+
+    sdf = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return sdf.mapInPandas(
+        op, schema=f"{out_id} long, band_idx int, band_hash long"
+    )
 
 
 def srp_bucket_topk(
@@ -144,24 +199,12 @@ def srp_bucket_topk(
     """
     from pyspark.sql import Window as W
 
-    def tables_of(df: DataFrame, out_id: str) -> DataFrame:
-        parts = []
-        for t in range(n_tables):
-            s = srp_signatures(
-                df, dim, n_planes, seed + 1000 * t, id_col, vec_col
-            ).select(
-                F.col("file_id").alias(out_id),
-                F.lit(t).alias("band_idx"),
-                "band_hash",
-            )
-            parts.append(s)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
-
-    qt = tables_of(queries, "q_id")
-    ct = tables_of(emb, "n_id")
+    qt = srp_signature_table(
+        queries, dim, n_planes, n_tables, seed, id_col, vec_col, out_id="q_id"
+    )
+    ct = srp_signature_table(
+        emb, dim, n_planes, n_tables, seed, id_col, vec_col, out_id="n_id"
+    )
     cands = (
         qt.join(ct, ["band_idx", "band_hash"])
         .where(F.col("q_id") != F.col("n_id"))
@@ -196,13 +239,9 @@ def srp_bucket_pairs(
     from microdeduplication_spark.config import DedupConfig
     from microdeduplication_spark.operators.minhash_lsh import banded_self_join
 
-    tables = []
-    for t in range(n_tables):
-        s = srp_signatures(emb, dim, n_planes, seed + 1000 * t, id_col, vec_col)
-        tables.append(s.withColumn("band_idx", F.lit(t)))
-    bands = tables[0]
-    for t in tables[1:]:
-        bands = bands.unionByName(t)
+    bands = srp_signature_table(
+        emb, dim, n_planes, n_tables, seed, id_col, vec_col
+    )
     cands = banded_self_join(bands, DedupConfig(), method="srp")
     a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))

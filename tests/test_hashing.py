@@ -166,3 +166,43 @@ def test_spark_udfs_agree_with_batch(spark, cfg):
     for i, r in enumerate(rows):
         assert list(got[i][0]) == list(want_sigs[i])
         assert got[i][1] == int(want_sims[i])
+
+
+def test_simhash_block_combo_guarantee(spark):
+    """Combination probing (tables=8, combo=4) must bucket every pair within
+    the pigeonhole guarantee h <= tables - combo = 4, and the config must
+    reject thresholds beyond the guarantee."""
+    import pytest
+
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.operators.simhash import candidate_pairs
+
+    cfg = DedupConfig(simhash_tables=8, simhash_block_combo=4,
+                      hamming_threshold=4)
+    rng = np.random.default_rng(5)
+    base = int(rng.integers(0, 2**63))
+    rows, truth = [(0, base)], set()
+    vid = 1
+    for h in range(1, 5):  # plant pairs at every distance 1..4 vs vid 0
+        flipped = base
+        for b in rng.choice(64, size=h, replace=False):
+            flipped ^= 1 << int(b)
+        rows.append((vid, flipped))
+        truth.add((0, vid))
+        vid += 1
+    # far vector: flip 40 bits spread over all blocks -> must NOT pair
+    far = base
+    for b in range(0, 60, 2):
+        far ^= 1 << b
+    rows.append((vid, far))
+    sims = spark.createDataFrame(rows, "file_id long, sim long")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in candidate_pairs(sims, cfg).collect()
+    }
+    assert truth <= got
+    assert not any(vid in p for p in got)
+
+    with pytest.raises(ValueError):
+        DedupConfig(simhash_tables=8, simhash_block_combo=4,
+                    hamming_threshold=5)
