@@ -31,6 +31,15 @@ def main(argv=None) -> int:
     p.add_argument("--langs", default=None, help="comma-separated lang filter")
     p.add_argument("--shingle-k", type=int, default=None)
     p.add_argument("--jaccard-threshold", type=float, default=None)
+    p.add_argument("--bucket-cap", type=int, default=None,
+                   help="star-pair LSH buckets above this size")
+    p.add_argument("--bucket-drop", type=int, default=None,
+                   help="drop degenerate buckets above this size")
+    p.add_argument("--simhash-tables", type=int, default=None,
+                   help="SimHash bit blocks (e.g. 8 for the 1e12 preset)")
+    p.add_argument("--simhash-block-combo", type=int, default=None,
+                   help="blocks per probe key (e.g. 4 for 32-bit keys)")
+    p.add_argument("--hamming-threshold", type=int, default=None)
     args = p.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -45,11 +54,13 @@ def main(argv=None) -> int:
 
     spark = SparkSession.builder.appName("microdeduplication-run").getOrCreate()
 
-    overrides = {}
-    if args.shingle_k is not None:
-        overrides["shingle_k"] = args.shingle_k
-    if args.jaccard_threshold is not None:
-        overrides["jaccard_threshold"] = args.jaccard_threshold
+    overrides = {
+        k: getattr(args, k)
+        for k in ("shingle_k", "jaccard_threshold", "bucket_cap",
+                  "bucket_drop", "simhash_tables", "simhash_block_combo",
+                  "hamming_threshold")
+        if getattr(args, k) is not None
+    }
     cfg = DedupConfig(**overrides)
 
     langs = args.langs.split(",") if args.langs else None

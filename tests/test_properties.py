@@ -1,0 +1,85 @@
+"""Property-based parity (hypothesis): scalar coercions and the evaluation
+key must match Python transcriptions of the reference Java semantics on
+arbitrary input, not just the curated fixtures (SURVEY.md §5).
+
+Each example sends a BATCH of generated strings through one Spark job, so
+example counts stay small while string coverage stays wide.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from microdeduplication_spark.evaluation import eval_keys_from_lines
+from microdeduplication_spark.operators.entity_formation import (
+    clear_line,
+    coerce_price,
+)
+
+SETTINGS = settings(max_examples=8, deadline=None)
+
+# printable-ish text with the characters that matter to each transform
+_PRICE_ALPHABET = "0123456789.,eE- €$abcXY"
+_LINE_ALPHABET = "abcXY 0123456789<>;,.*%@!-_+\tä"
+
+
+def _java_get_double(s: str) -> float:
+    """Util.java:169-179: comma->dot, strip non-[0-9.], parse-or-0.0."""
+    s = s.replace(",", ".")
+    s = re.sub(r"[^0-9.]", "", s)
+    try:
+        return float(s) if s else 0.0
+    except ValueError:
+        return 0.0
+
+
+def _java_clear_line(s: str) -> str:
+    """Util.java:20-34 transcription (per-field application)."""
+    s = re.sub(r"\\t|\\n", " ", s)
+    s = re.sub(r"(@|-)(et|en|ru|de|ee)\b", "", s)
+    s = re.sub(r"[<>]", "", s)
+    s = re.sub(r"\s+", " ", s)
+    return s.strip()
+
+
+def _java_eval_key(line: str) -> str:
+    """EvaluateDeduplication.java:40-48 transcription."""
+    tuples = re.sub("<|>", "", line).split(";")
+    name = tuples[1] if len(tuples) > 1 else ""
+    desc = tuples[3] if len(tuples) > 3 else ""
+    name = re.sub(r"^[,.*%@!\-_+]\s", "", name, count=1).strip()
+    return name + desc
+
+
+@SETTINGS
+@given(st.lists(st.text(_PRICE_ALPHABET, max_size=20), min_size=1, max_size=40))
+def test_coerce_price_matches_java(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], ["raw"])
+    got = [r["p"] for r in df.select(coerce_price(F.col("raw")).alias("p")).collect()]
+    want = [_java_get_double(v) for v in values]
+    assert got == want, list(zip(values, got, want))
+
+
+@SETTINGS
+@given(st.lists(st.text(_LINE_ALPHABET, max_size=30), min_size=1, max_size=40))
+def test_clear_line_matches_java(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], ["raw"])
+    got = [r["c"] for r in df.select(clear_line(F.col("raw")).alias("c")).collect()]
+    want = [_java_clear_line(v) for v in values]
+    assert got == want, list(zip(values, got, want))
+
+
+@SETTINGS
+@given(st.lists(st.text(_LINE_ALPHABET, min_size=1, max_size=60),
+                min_size=1, max_size=40))
+def test_eval_key_matches_java(spark, lines):
+    lines = [l for l in lines if l]  # the job drops empty lines (Java filter)
+    if not lines:
+        return
+    df = spark.createDataFrame([(l,) for l in lines], ["value"])
+    got = sorted(r["key"] for r in eval_keys_from_lines(df).collect())
+    want = sorted(_java_eval_key(l) for l in lines)
+    assert got == want

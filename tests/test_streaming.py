@@ -61,3 +61,34 @@ def test_streaming_dup_counter(spark, cfg, tmp_path):
         assert counts == {2, 1}
     finally:
         q.stop()
+
+
+def test_streaming_first_seen_stateful(spark, cfg, tmp_path):
+    """applyInPandasWithState first-seen dedup: one row per norm_sha ever,
+    duplicates suppressed across micro-batches, state survives triggers."""
+    from microdeduplication_spark.streaming.stateful import streaming_first_seen
+
+    src = str(tmp_path / "in")
+    _write_batch(spark, src, [
+        ("r", "a.py", "c1", "python", "x = 1"),
+        ("r", "b.py", "c2", "python", "x = 1"),   # same normalized content
+        ("r", "c.py", "c3", "python", "y = 2"),
+    ])
+    q = streaming_first_seen(spark, src, cfg)
+    try:
+        q.processAllAvailable()
+        out1 = spark.sql("SELECT * FROM first_seen").collect()
+        assert len(out1) == 2  # x=1 family once + y=2 once
+        # later batch: a repeat of x=1 and a brand-new content
+        _write_batch(spark, src, [
+            ("r", "d.py", "c4", "python", "x = 1"),
+            ("r", "e.py", "c5", "python", "z = 3"),
+        ])
+        q.processAllAvailable()
+        out2 = spark.sql("SELECT * FROM first_seen").collect()
+        shas = [r["norm_sha"] for r in out2]
+        assert len(out2) == 3 and len(set(shas)) == 3  # repeat suppressed
+        paths = {r["path"] for r in out2}
+        assert "d.py" not in paths and "e.py" in paths
+    finally:
+        q.stop()
