@@ -105,3 +105,20 @@ def test_minhash_is_arrow_vectorized_not_row_python(spark, cfg):
     plan = _plan(df.select(mh("shingles").alias("sig")))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan  # row-at-a-time Python path
+
+
+def test_banded_join_is_map_side_single_exchange(spark, cfg):
+    """banded_self_join (round 2): pairs expand map-side from in-place
+    bucket lists -- NO join operator, and at most two hash exchanges
+    (the bucket-key window + the final distinct)."""
+    from microdeduplication_spark.operators.minhash_lsh import banded_self_join
+
+    bands = spark.createDataFrame(
+        [(i, i % 3, i % 5) for i in range(50)],
+        "file_id long, band_idx int, band_hash long",
+    )
+    plan = _plan(banded_self_join(bands, cfg, method="m"))
+    assert "Join" not in plan
+    # one band-table exchange (the bucket-key window) + the final distinct's
+    # exchange per union branch (pair-sized rows, not band-sized)
+    assert plan.count("Exchange hashpartitioning") <= 3
