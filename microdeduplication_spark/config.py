@@ -7,7 +7,7 @@ One frozen dataclass carries every tunable of the dedup pipeline so that the
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field, asdict
+from dataclasses import asdict, dataclass
 
 
 @dataclass(frozen=True)

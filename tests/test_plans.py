@@ -9,7 +9,6 @@ shape fails CI even while results stay correct.
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.01"
@@ -59,9 +58,13 @@ def test_groupby_has_partial_aggregate(spark):
     assert plan.count("HashAggregate") >= 2
 
 
-def test_lsh_band_join_is_hash_join_not_nested_loop(spark, cfg):
-    """The LSH self-join must be an equi hash/sort-merge join; a nested-loop
-    join here would be the O(n^2) disaster the banding exists to avoid."""
+def test_candidate_lineage_has_no_nested_loop(spark, cfg):
+    """No nested-loop join anywhere in the full normalize -> shingle ->
+    signature -> LSH candidate lineage: a cartesian here would be the
+    O(n^2) disaster banding exists to avoid. (Round 2 removed the band
+    self-join entirely -- pairs expand map-side, pinned by
+    test_banded_join_is_map_side_single_exchange -- so the only joins left
+    upstream are the exact-dedup equi joins.)"""
     from microdeduplication_spark.operators import exact_dedup, minhash_lsh
 
     files = spark.createDataFrame(
@@ -75,10 +78,7 @@ def test_lsh_band_join_is_hash_join_not_nested_loop(spark, cfg):
     sigs = minhash_lsh.minhash_signatures(sh, cfg)
     cands = minhash_lsh.candidate_pairs(minhash_lsh.lsh_bands(sigs, cfg), cfg)
     plan = _plan(cands)
-    assert "NestedLoop" not in plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    )
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
 
 
 def test_normalize_stays_in_codegen(spark, cfg):
