@@ -123,6 +123,28 @@ def validity_filter(products: DataFrame) -> DataFrame:
     )
 
 
+def to_reference_lines(products: DataFrame) -> DataFrame:
+    """Typed product rows -> the reference's Product.toString line shape
+    (models/Product.java:142-148): 11 `<...>`-wrapped `;`-separated fields
+    WITH the trailing semicolon, price rendered as a Java double string
+    (integral prices print as `12.0`). A user replaying the reference's
+    `deduplication` output downstream can consume this engine's
+    representatives byte-shaped."""
+    price_str = F.when(
+        F.col("price") == F.floor(F.col("price")),
+        F.concat(F.col("price").cast("bigint").cast("string"), F.lit(".0")),
+    ).otherwise(F.col("price").cast("string"))
+    return products.select(
+        F.format_string(
+            "<%s>;" * 11,
+            F.col("id").cast("string"), F.col("name"), F.col("sku"),
+            F.col("description"), F.col("image_url"), F.col("prod_url"),
+            price_str, F.col("currency"), F.col("availability"),
+            F.col("provider"), F.col("time_stamp"),
+        ).alias("value")
+    )
+
+
 def blocking_key(products: DataFrame) -> DataFrame:
     """SNM blocking key (Deduplication.java:71-94): name + price string +
     provider second-level domain (ArrayIndexOutOfBounds swallowed in the

@@ -77,3 +77,16 @@ def test_random_graphs(spark):
 
 def test_self_loops_and_duplicates_ignored(spark):
     _check(spark, [(1, 1), (1, 2), (2, 1), (1, 2), (5, 5), (5, 6)])
+
+
+def test_large_random_graph_both_paths_agree(spark):
+    """5k nodes / 8k edges: the driver numpy fast path and the distributed
+    large-star/small-star loop must produce identical assignments (and both
+    match the union-find oracle)."""
+    rng = np.random.default_rng(13)
+    edges = [
+        (int(a), int(b))
+        for a, b in rng.integers(0, 5000, size=(8000, 2))
+        if a != b
+    ]
+    _check(spark, edges)

@@ -245,3 +245,35 @@ def test_snm_dedup_matches_bruteforce_oracle(spark, parsed):
     assert got_reps == set(want.values())
     # sanity: the fixture actually contains duplicates
     assert len(got_reps) < len(prods)
+
+
+def test_to_reference_lines_roundtrip(spark, parsed):
+    """Product.toString shape: trailing ';', Java-double price rendering;
+    parse_product_lines round-trips it losslessly."""
+    from microdeduplication_spark.operators.entity_formation import (
+        to_reference_lines,
+    )
+
+    lines = to_reference_lines(parsed)
+    sample = lines.take(3)
+    assert all(r["value"].endswith(">;") for r in sample)
+    assert all(r["value"].count(";") == 11 for r in sample)
+    back = {r["id"]: r for r in parse_product_lines(lines).collect()}
+    orig = {r["id"]: r for r in parsed.collect()}
+    assert set(back) == set(orig)
+    for rid, want in orig.items():
+        got = back[rid]
+        assert got["name"] == want["name"]
+        assert got["price"] == want["price"]
+        assert got["provider"] == want["provider"]
+
+    # Java double rendering: 5.0 not 5, 12.5 not 12.50
+    df = spark.createDataFrame(
+        [(1, "n", "", "", "", "", 5.0, "", "", "p", "t"),
+         (2, "n", "", "", "", "", 12.5, "", "", "p", "t")],
+        ["id", "name", "sku", "description", "image_url", "prod_url",
+         "price", "currency", "availability", "provider", "time_stamp"],
+    )
+    vals = {r["value"] for r in to_reference_lines(df).collect()}
+    assert any("<5.0>" in v for v in vals)
+    assert any("<12.5>" in v for v in vals)
