@@ -5,23 +5,27 @@ projection + global sort + sliding window
 (/root/reference/deduplicaiton/.../processes/Deduplication.java:64-125) --
 with banded LSH: 128-perm MinHash signatures are split into b bands of r rows,
 each band hashed to a bucket key, and candidate pairs are the within-bucket
-pairs of an equi self-join on (band_idx, band_hash). Detection probability at
-Jaccard s is 1-(1-s^r)^b (0.9998 at s=0.7 with b=32, r=4), versus SNM's
-window-bounded recall.
+pairs. Detection probability at Jaccard s is 1-(1-s^r)^b (0.9998 at s=0.7
+with b=32, r=4), versus SNM's window-bounded recall.
 
 Scale notes (10^12 files, north_rule skew clause):
 - the band table is 32 rows per file but only (file_id, band_idx, band_hash):
   24 bytes of payload, no content strings.
-- the self-join is a shuffle-hash/sort-merge equi join on (band_idx,
-  band_hash); AQE skew-join splitting is on (session.py).
-- hot buckets: bucket sizes are counted first (one cheap agg on the same
-  key, reusing the shuffle partitioning); buckets over `bucket_drop` are
-  degenerate (near-empty shingle sets, boilerplate) and dropped with a
-  metric; buckets over `bucket_cap` are *star-paired* (every member paired
-  with the bucket minimum) instead of all-pairs-paired, turning a C(n,2)
-  blowup into n-1 pairs while preserving bucket connectivity -- members of
-  an LSH bucket share a full band signature, so rep-to-member verification
-  almost surely reaches the same verdict as all-pairs.
+- within-bucket pairs come from ONE hash exchange, not a self-join: bucket
+  sizes via a count window on the bucket key, member lists collected in
+  place on the preserved partitioning, pairs expanded map-side with JVM
+  higher-order functions (see banded_self_join).
+- hot buckets: buckets over `bucket_drop` are degenerate (near-empty
+  shingle sets, boilerplate) and dropped ROW-WISE before any member list
+  is built (an adversarial all-identical corpus cannot OOM an aggregation
+  buffer), with the drop reported by hot_bucket_stats; buckets over
+  `bucket_cap` are *star-paired* (every member paired with the bucket
+  minimum) instead of all-pairs-paired, turning a C(n,2) blowup into n-1
+  pairs while preserving bucket connectivity -- members of an LSH bucket
+  share a full band signature, so rep-to-member verification almost surely
+  reaches the same verdict as all-pairs. Elided member<->member pairs are
+  a reported metric; pair-level consumers use exact_hot=True (salted
+  all-pairs).
 """
 
 from __future__ import annotations
