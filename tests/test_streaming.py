@@ -92,3 +92,75 @@ def test_streaming_first_seen_stateful(spark, cfg, tmp_path):
         assert "d.py" not in paths and "e.py" in paths
     finally:
         q.stop()
+
+
+def test_windowed_stats_watermark_drops_late_rows(spark, cfg, tmp_path):
+    """Event-time windowed agg + watermark: windows finalize once the
+    watermark passes, and a row arriving behind the watermark is dropped."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from microdeduplication_spark.streaming.windowed import windowed_ingest_stats
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("event_time", T.TimestampType()),
+    ])
+    src = str(tmp_path / "in")
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    t0 = dt.datetime(2026, 1, 1, 10, 0, 0)
+
+    def ts(minute, sec=0):
+        return t0 + dt.timedelta(minutes=minute, seconds=sec)
+
+    write([("r", "a", "c", "py", "x = 1", ts(0, 10)),
+           ("r", "b", "c", "py", "x = 1", ts(0, 40)),
+           ("r", "c", "c", "py", "y = 2", ts(1, 10))])
+    stream = spark.readStream.schema(schema).parquet(src)
+    normalized = stream.select(
+        "lang", "event_time",
+        F.sha2(F.col("content").cast("binary"), 256).alias("norm_sha"),
+    )
+    q = (
+        windowed_ingest_stats(normalized)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("win_stats")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # watermark still at max(event)-2min < window ends: nothing final
+        assert spark.sql("SELECT * FROM win_stats").count() == 0
+        # advance event time to 10:05 -> watermark 10:03 -> minutes 0-1 final
+        write([("r", "d", "c", "py", "z = 3", ts(5))])
+        q.processAllAvailable()
+        rows = {
+            (r["window_start"].minute, r["n_files"], r["approx_distinct"])
+            for r in spark.sql("SELECT * FROM win_stats").collect()
+        }
+        assert (0, 2, 1) in rows   # two files, one distinct content
+        assert (1, 1, 1) in rows
+        # a LATE row for minute 0 (behind the 10:03 watermark) is dropped:
+        # even after the watermark advances further, minute-0 never re-emits
+        write([("r", "late", "c", "py", "late!", ts(0, 50)),
+               ("r", "e", "c", "py", "w = 4", ts(9))])
+        q.processAllAvailable()
+        out = [
+            r for r in spark.sql("SELECT * FROM win_stats").collect()
+            if r["window_start"].minute == 0
+        ]
+        assert len(out) == 1 and out[0]["n_files"] == 2
+    finally:
+        q.stop()
