@@ -29,6 +29,15 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time (s) -- labels interference bursts."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
 def run_level(cpus: int, sf_dir: str) -> dict:
     """One bench pipeline run in a fresh interpreter/JVM, pinned to `cpus`."""
     code = (
@@ -40,6 +49,7 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
     )
     t0 = time.monotonic()
+    s0 = _steal_sec()
     p = subprocess.run(
         pin + [sys.executable, "-c", code],
         capture_output=True, text=True, cwd=REPO, timeout=3600,
@@ -49,6 +59,7 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
     out = json.loads(line[len("RESULT "):])
     out["total_wall_sec"] = round(time.monotonic() - t0, 1)
+    out["steal_sec"] = round(_steal_sec() - s0, 1)
     return out
 
 
@@ -73,6 +84,9 @@ def main() -> None:
         "cores_4n": 4 * n, "files_per_sec_4n": tp_hi,
         "speedup": round(tp_hi / tp_lo, 3),
         "scaling_efficiency": round(eff, 3),
+        # hypervisor steal during each leg: non-trivial steal marks the row
+        # as interference-degraded (shared-infrastructure VM)
+        "steal_n_sec": lo["steal_sec"], "steal_4n_sec": hi["steal_sec"],
     }
     print(json.dumps(summary))
 
