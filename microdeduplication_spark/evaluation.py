@@ -21,14 +21,26 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def java_trim(col: Column) -> Column:
+    """Java ``String.trim()`` semantics: strip every leading/trailing char
+    with code point <= U+0020 (space, tab, newline, control chars).
+
+    NOT the same as Spark's ``F.trim`` (ASCII space 0x20 only) nor Python's
+    ``str.strip()`` (all Unicode whitespace, but keeps control chars like
+    \\x0b? no -- strips more: U+00A0 etc. that Java keeps). Pinning to the
+    Java contract is what the reference's eval keys require
+    (EvaluateDeduplication.java:43-44)."""
+    return F.regexp_replace(col, r"^[\x00-\x20]+|[\x00-\x20]+$", "")
+
+
 def eval_key(name: Column, description: Column) -> Column:
     """The reference's evaluation key (EvaluateDeduplication.java:40-48):
     name with ONE leading punctuation-then-whitespace occurrence stripped
-    (replaceFirst "^[,.*%@!\\-_+]\\s") and trimmed, concatenated with the
-    raw (untrimmed) description. Both gold and output datasets are keyed
-    this way before the set/bag metrics."""
+    (replaceFirst "^[,.*%@!\\-_+]\\s") and Java-trimmed, concatenated with
+    the raw (untrimmed) description. Both gold and output datasets are
+    keyed this way before the set/bag metrics."""
     stripped = F.regexp_replace(name, r"^[,.*%@!\-_+]\s", "")
-    return F.concat(F.trim(stripped), description)
+    return F.concat(java_trim(stripped), description)
 
 
 def eval_keys_from_lines(lines: DataFrame, col: str = "value") -> DataFrame:

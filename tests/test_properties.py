@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import re
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from microdeduplication_spark.evaluation import eval_keys_from_lines
@@ -45,12 +45,24 @@ def _java_clear_line(s: str) -> str:
     return s.strip()
 
 
+def _java_trim(s: str) -> str:
+    """Java String.trim(): strip leading/trailing chars <= U+0020 ONLY.
+    Deliberately not Python .strip() (which also strips Unicode whitespace
+    like U+00A0/U+2028 that Java keeps)."""
+    i, j = 0, len(s)
+    while i < j and s[i] <= "\x20":
+        i += 1
+    while j > i and s[j - 1] <= "\x20":
+        j -= 1
+    return s[i:j]
+
+
 def _java_eval_key(line: str) -> str:
     """EvaluateDeduplication.java:40-48 transcription."""
     tuples = re.sub("<|>", "", line).split(";")
     name = tuples[1] if len(tuples) > 1 else ""
     desc = tuples[3] if len(tuples) > 3 else ""
-    name = re.sub(r"^[,.*%@!\-_+]\s", "", name, count=1).strip()
+    name = _java_trim(re.sub(r"^[,.*%@!\-_+]\s", "", name, count=1))
     return name + desc
 
 
@@ -73,6 +85,9 @@ def test_clear_line_matches_java(spark, values):
 
 
 @SETTINGS
+@example(lines=[";\t"])        # round-2 falsifier: tab name -> Java trims, F.trim kept
+@example(lines=["a;\x0b b;c;d"])   # control char <= 0x20: Java strips, F.trim does not
+@example(lines=["a;\u00a0x;c;d"])  # NBSP > 0x20: Java KEEPS it, Python .strip() would not
 @given(st.lists(st.text(_LINE_ALPHABET, min_size=1, max_size=60),
                 min_size=1, max_size=40))
 def test_eval_key_matches_java(spark, lines):
