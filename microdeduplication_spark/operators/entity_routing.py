@@ -43,6 +43,12 @@ Deliberate deviations (documented per SURVEY.md §4 "bugs to not reproduce"):
   still harvest provider/timestamp from a malformed line in rare orderings
   (the per-line catch at :125-127 skips the rest of the line only when the
   object extraction itself throws).
+- a block carrying BOTH Product and Offer type markers stores its OWN
+  fields as the pending map; the reference stores the post-inherit merged
+  locals (so a prior Product's fields can chain through such a block into
+  the next Offer). Chained inheritance through dual-type blocks is not
+  reproduced (the fuzz oracle in test_entity_routing_fuzz.py excludes the
+  case for the same reason).
 
 Scale: the reference's cross-record state (Util.productMap) is only correct
 because blocks of one file land in one partition in file order. Here the
@@ -249,12 +255,14 @@ def route_quad_blocks(
 
 
 def as_product_lines(routed: DataFrame) -> DataFrame:
-    """Serialize routed records to the reference's 11-field `<...>;<...>`
-    line format (Product.toString shape, consumed by parse_product_lines),
-    mirroring the stage boundary at ConvertionToEntities.java:145-150."""
+    """Serialize routed records to the reference's 11-field `<...>;` line
+    format, byte-parity with Product.toString (Product.java:143-148), which
+    emits a trailing ';' after the 11th field -- the stage boundary at
+    ConvertionToEntities.java:145-150. parse_product_lines tolerates the
+    trailing separator (split yields one empty 12th part, ignored)."""
     return routed.select(
         F.format_string(
-            "<%s>;" * 10 + "<%s>",
+            "<%s>;" * 11,
             F.col("id").cast("string"),
             *[F.col(f) for f in ROUTED_FIELDS],
         ).alias("value")

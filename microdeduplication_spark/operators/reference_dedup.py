@@ -25,13 +25,15 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import Window as W
 
 from microdeduplication_spark.operators.connected_components import (
     connected_components,
 )
 from microdeduplication_spark.operators.entity_formation import blocking_key
-from microdeduplication_spark.operators.snm import snm_candidate_pairs
+from microdeduplication_spark.operators.snm import (
+    global_sort_positions,
+    snm_candidate_pairs,
+)
 
 
 def _tokens(col: Column) -> Column:
@@ -130,9 +132,14 @@ def snm_dedup(
     """
     keyed = blocking_key(raw_products)
     # sort position = the reference's encounter order; ids are remapped to
-    # positions so `min` picks the first-seen record, then mapped back
-    order_w = W.orderBy(F.col("block_key"), F.col("id"))
-    pos = keyed.withColumn("pos", F.row_number().over(order_w)).persist()
+    # positions so `min` picks the first-seen record, then mapped back.
+    # Positions come from the scale-safe range-partition + offsets helper
+    # (no single-partition WindowExec); the lazy localCheckpoint makes the
+    # four downstream consumers share one computation without leaking a
+    # CacheManager entry.
+    pos = global_sort_positions(
+        keyed, ["block_key", "id"]
+    ).localCheckpoint(eager=False)
     pairs = snm_candidate_pairs(
         pos, key_col="block_key", id_col="pos", window=window
     ).select(F.col("a_id").alias("a_pos"), F.col("b_id").alias("b_pos"))

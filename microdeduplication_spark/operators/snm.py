@@ -35,6 +35,13 @@ from pyspark.sql import Window as W
 
 
 def _pairs_output(parts: list[DataFrame]) -> DataFrame:
+    """Union pair parts and normalize orientation.
+
+    No distinct: the parts are disjoint by construction (each lead() offset
+    emits a pair at most once, and the sliver join is restricted to
+    cross-partition pairs which lead() cannot produce), so the big pair set
+    never re-shuffles just to dedupe itself.
+    """
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
@@ -43,7 +50,50 @@ def _pairs_output(parts: list[DataFrame]) -> DataFrame:
         F.greatest("a_id", "b_id").alias("b_id"),
         "a_key",
         "b_key",
-    ).distinct()
+    )
+
+
+def global_sort_positions(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int | None = None,
+    pos_col: str = "pos",
+) -> DataFrame:
+    """1-based positions in total (order_cols) order, scale-safe.
+
+    No single-partition WindowExec: repartitionByRange gives the cross-
+    partition order, row_number runs per range partition, and per-partition
+    counts (a metadata-scale collect -- one row per partition, the same
+    contract as RDD.zipWithIndex) turn local row numbers into global
+    positions. The eager localCheckpoint pins the sampled range boundaries
+    so partition ids cannot desync from the collected counts.
+    """
+    spark = df.sparkSession
+    n_parts = num_partitions or spark.sparkContext.defaultParallelism
+    cols = [F.col(c) for c in order_cols]
+    ranged = (
+        df.repartitionByRange(n_parts, *cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = {
+        r["_pid"]: r["n"]
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("n")).collect()
+    }
+    offsets, acc = [], 0
+    for p in sorted(counts):
+        offsets.append((p, acc))
+        acc += counts[p]
+    off_df = F.broadcast(
+        spark.createDataFrame(offsets or [(0, 0)], "_pid int, _offset long")
+    )
+    local_w = W.partitionBy("_pid").orderBy(*cols)
+    return (
+        ranged.withColumn("_rn", F.row_number().over(local_w))
+        .join(off_df, "_pid")
+        .withColumn(pos_col, (F.col("_rn") + F.col("_offset")).cast("long"))
+        .drop("_pid", "_rn", "_offset")
+    )
 
 
 def snm_candidate_pairs(
@@ -81,13 +131,18 @@ def snm_candidate_pairs(
 
     spark = df.sparkSession
     n_parts = num_partitions or spark.sparkContext.defaultParallelism
-    # persist pins the sampled range boundaries: pid feeds two consumers
-    # (within-pass + slivers) and must not be resampled between them
+    # eager localCheckpoint pins the sampled range boundaries DURABLY: pid
+    # feeds two consumers (within-pass + slivers) and must not be resampled
+    # between them. A persist() could be evicted (resample -> pid desync
+    # with the collected counts) and leaks a plan-keyed CacheManager entry
+    # across calls; checkpoint blocks are GC'd with the DataFrame. The
+    # counts .collect() below was the first materializer anyway, so the
+    # eager job costs nothing extra.
     ranged = (
         df.select(F.col(id_col).alias("rid"), F.col(key_col).alias("rkey"))
         .repartitionByRange(n_parts, F.col("rkey"), F.col("rid"))
         .withColumn("pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     local_w = W.partitionBy("pid").orderBy("rkey", "rid")
     local = ranged.withColumn("rn", F.row_number().over(local_w))
@@ -126,24 +181,31 @@ def snm_candidate_pairs(
             | (F.col("rn") > F.col("cnt") - (window - 1))
         )
         .select(
-            "rid", "rkey", (F.col("rn") + F.col("offset")).alias("pos")
+            "rid", "rkey", "pid", (F.col("rn") + F.col("offset")).alias("pos")
         )
     )
     a = sliver.select(
         F.col("rid").alias("a_id"),
         F.col("rkey").alias("a_key"),
+        F.col("pid").alias("a_pid"),
         F.col("pos").alias("a_pos"),
     )
     b = sliver.select(
         F.col("rid").alias("b_id"),
         F.col("rkey").alias("b_key"),
+        F.col("pid").alias("b_pid"),
         F.col("pos").alias("b_pos"),
     )
+    # cross-partition pairs ONLY: same-partition sliver pairs are already
+    # produced by the lead() parts above (a partition's rows are contiguous
+    # in the global position space), so requiring a_pid != b_pid makes the
+    # union of parts exactly the pair set -- no distinct over the big union
     parts.append(
         a.join(
             F.broadcast(b),
             (F.col("b_pos") > F.col("a_pos"))
-            & (F.col("b_pos") < F.col("a_pos") + window),
+            & (F.col("b_pos") < F.col("a_pos") + window)
+            & (F.col("a_pid") != F.col("b_pid")),
         ).select("a_id", "a_key", "b_id", "b_key")
     )
     return _pairs_output(parts)

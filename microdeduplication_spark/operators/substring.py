@@ -80,9 +80,10 @@ def verify_containment(
         .unionByName(candidates.select(F.col("b_id").alias("file_id")))
         .distinct()
     )
-    reduced = lined.join(F.broadcast(ids), "file_id", "left_semi").persist()
-    # persist: both pair-join sides read `reduced`; without it the whole
-    # semi-join subtree (incl. the ids broadcast) is planned twice
+    # localCheckpoint (lazy), not persist: see verify.verify_jaccard -- same
+    # compute-once contract without leaking a plan-keyed CacheManager entry
+    reduced = lined.join(F.broadcast(ids), "file_id", "left_semi") \
+        .localCheckpoint(eager=False)
     sets_a = reduced.select(
         F.col("file_id").alias("a_id"), F.col("line_set").alias("a_set")
     )

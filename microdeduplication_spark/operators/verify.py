@@ -48,9 +48,13 @@ def verify_jaccard(
     )
     # candidate ids are tiny relative to the corpus: broadcast them so
     # the wide array table is filtered in place, never hash-exchanged
-    reduced = shingled.join(F.broadcast(ids), "file_id", "left_semi").persist()
-    # persist: both pair-join sides read `reduced`; without it the whole
-    # semi-join subtree (incl. the ids broadcast) is planned twice
+    # localCheckpoint (lazy), not persist: both pair-join sides read
+    # `reduced`, so the semi-join subtree must compute once -- but a
+    # persist() here would leak a CacheManager entry per call (entries are
+    # plan-keyed and never auto-dropped). Checkpoint blocks are plain RDD
+    # storage, freed by the ContextCleaner when the DataFrame is GC'd.
+    reduced = shingled.join(F.broadcast(ids), "file_id", "left_semi") \
+        .localCheckpoint(eager=False)
     sets_a = reduced.select(
         F.col("file_id").alias("a_id"), F.col("shingles").alias("a_sh")
     )

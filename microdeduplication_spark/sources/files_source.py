@@ -81,12 +81,18 @@ def url_key(url, date):
     (repo,path,commit) key replaces this, but the projection is part of the
     reference surface.
     """
+    # concat_ws silently DROPS null segments, which would misalign the
+    # '::' positions downstream consumers index into (provider = parts 0+1,
+    # timestamp = part 2 in ConvertionToEntities.java:162-182). The
+    # reference drops malformed URLs via its catch-all; we keep alignment
+    # by pinning every segment non-null ('' for absent protocol/host/path,
+    # the literal "null" for absent query, matching Java null-concat).
     q = F.coalesce(F.parse_url(url, F.lit("QUERY")), F.lit("null"))
     return F.concat_ws(
         "::",
-        F.lower(F.parse_url(url, F.lit("PROTOCOL"))),
-        F.parse_url(url, F.lit("HOST")),
-        F.parse_url(url, F.lit("PATH")),
+        F.coalesce(F.lower(F.parse_url(url, F.lit("PROTOCOL"))), F.lit("")),
+        F.coalesce(F.parse_url(url, F.lit("HOST")), F.lit("")),
+        F.coalesce(F.parse_url(url, F.lit("PATH")), F.lit("")),
         q,
         F.regexp_replace(date, "-|T|Z|:", ""),
     )

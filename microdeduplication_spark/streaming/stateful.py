@@ -38,11 +38,16 @@ def _first_seen_fn(
     if seen:
         state.update((True,))
         return iter(())
+    # deterministic representative within the batch: min file_id across
+    # EVERY Arrow chunk of the group (a group can span multiple pdfs; the
+    # smallest id may arrive in a later chunk).
     first = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            # deterministic representative within the batch: min file_id
-            first = pdf.sort_values("file_id").head(1)
+        if not len(pdf):
+            continue
+        cand = pdf.sort_values("file_id").head(1)
+        if first is None or cand["file_id"].iloc[0] < first["file_id"].iloc[0]:
+            first = cand
     state.update((True,))
     if first is None:
         return iter(())

@@ -284,3 +284,46 @@ def test_srp_topk_recall_vs_bruteforce(spark):
     }
     recall = len(got & want) / len(want)
     assert recall >= 0.95, recall
+
+
+def test_snm_pairs_have_no_duplicate_rows(spark):
+    """The pair union is exact without a distinct (lead() parts and the
+    cross-partition sliver join are disjoint by construction); duplicate
+    rows would double-verify pairs downstream."""
+    rng = np.random.default_rng(11)
+    rows = [(i, int(k)) for i, k in enumerate(rng.integers(0, 25, size=200))]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = snm_candidate_pairs(df, "key", "id", window=4, num_partitions=16)
+    assert out.count() == out.select("a_id", "b_id").distinct().count()
+
+
+def test_global_sort_positions_scale_safe(spark):
+    from microdeduplication_spark.operators.snm import global_sort_positions
+
+    rows = [(i, int(k)) for i, k in enumerate([5, 3, 9, 3, 7, 1, 9, 2] * 20)]
+    df = spark.createDataFrame(rows, ["id", "key"])
+    out = global_sort_positions(df, ["key", "id"], num_partitions=8)
+    got = {r["id"]: r["pos"] for r in out.collect()}
+    order = [i for i, k in sorted(rows, key=lambda r: (r[1], r[0]))]
+    want = {fid: p + 1 for p, fid in enumerate(order)}
+    assert got == want
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
+
+
+def test_reference_snm_dedup_plan_has_no_single_partition_exchange(spark):
+    """VERDICT r2 #3: reference_dedup.snm_dedup must use the scale-safe
+    position assignment, not a global unpartitioned row_number window."""
+    from microdeduplication_spark.operators.entity_formation import (
+        parse_product_lines,
+    )
+    from microdeduplication_spark.operators.reference_dedup import snm_dedup
+
+    lines = spark.createDataFrame(
+        [(f"<{i}>;<n{i % 5}>;<s>;<d{i}>;<img{i}>;<u>;<1.0>;<E>;<a>;<p.x>;<t>",)
+         for i in range(40)],
+        ["value"],
+    )
+    reps, clusters = snm_dedup(parse_product_lines(lines), window=3)
+    plan = clusters._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan
