@@ -181,7 +181,9 @@ def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
 
 
 def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash pairs within Hamming distance 3 (rows-only: seeded bit mixing)."""
+    """SimHash pairs within Hamming distance 3 (rows-only: seeded bit mixing).
+    The banding/Hamming machinery itself is oracle-checked by the md5-family
+    twin below (q_simhash_hamming_pairs_md5)."""
     from microdeduplication_spark.operators import simhash as sh
 
     cfg = DOCS_CFG
@@ -193,6 +195,30 @@ def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     shingled = minhash_lsh.add_shingles(d, cfg)
     sims = sh.simhash_signatures(shingled, cfg)
     return sh.candidate_pairs(sims, cfg).select("a_id", "b_id")
+
+
+def q_simhash_hamming_pairs_md5(spark, sf_dir) -> DataFrame:
+    """SimHash pairs at Hamming distance <= 3 with the md5-32 hash family
+    (bit contributions from md5(token) bits, reproducible in DuckDB like
+    doc_fingerprints) -- the SAME banded block-probing + bucket self-join +
+    bit_count Hamming filter as the production path, so the blocking and
+    filtering logic is fully oracle-checked; only the bit-mixing family
+    differs. Pigeonhole: 4 x 8-bit blocks, combo=1 -> every pair at h <= 3
+    shares a bucket, so the banded output equals brute force exactly."""
+    from microdeduplication_spark.operators import simhash as sh
+
+    cfg32 = DedupConfig(
+        simhash_bits=32, simhash_tables=4, simhash_block_combo=1,
+        hamming_threshold=3,
+    )
+    d = _docs(spark, sf_dir).select(
+        "doc_id", ts.word_tokens_lower(F.col("text")).alias("toks")
+    )
+    sims = sh.md5_simhash_signatures(d, "doc_id", "toks", bits=32)
+    # exact_hot: this query's contract is the complete pair set (the oracle
+    # is brute force), so over-cap buckets expand all pairs via salting
+    # instead of star-pairing
+    return sh.candidate_pairs(sims, cfg32, exact_hot=True).select("a_id", "b_id")
 
 
 # ---------------------------------------------------------------------------
@@ -671,6 +697,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
+        "simhash_hamming_pairs_md5": q_simhash_hamming_pairs_md5,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -748,6 +775,32 @@ def oracle_sql() -> dict[str, str]:
                    list_reduce(list_prepend(0::BIGINT, hs),
                                (a, b) -> xor(a, b)) AS fingerprint
             FROM w
+        """,
+        # simhash_hamming_pairs_md5: brute-force twin of the banded probing
+        # path -- same md5-32 bit family, majority with ties->0, pairs at
+        # Hamming distance <= 3 (banded recall is exact by pigeonhole).
+        "simhash_hamming_pairs_md5": """
+            WITH tok AS (
+              SELECT DISTINCT doc_id,
+                     unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+              FROM documents
+            ), hashed AS (
+              SELECT doc_id,
+                     ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+              FROM tok
+            ), bits AS (
+              SELECT doc_id, r.bit,
+                     CASE WHEN 2 * SUM((h >> r.bit) & 1) > COUNT(*)
+                          THEN (1::BIGINT << r.bit) ELSE 0 END AS contrib
+              FROM hashed CROSS JOIN range(32) AS r(bit)
+              GROUP BY doc_id, r.bit
+            ), sigs AS (
+              SELECT doc_id, SUM(contrib) AS sim FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS a_id, b.doc_id AS b_id
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sim, b.sim)) <= 3
+            ORDER BY a_id, b_id
         """,
         "snm_product_dedup": """
             SELECT p_partkey AS id, p_partkey AS cluster_id

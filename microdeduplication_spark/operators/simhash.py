@@ -70,11 +70,54 @@ def simhash_bands(sims: DataFrame, cfg: DedupConfig) -> DataFrame:
     )
 
 
-def candidate_pairs(sims: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """Block-bucket self-join + exact Hamming filter -> (a_id,b_id,method)."""
-    sims = sims.persist()  # consumed by bands + both rescore join sides
+def md5_simhash_signatures(
+    df: DataFrame, id_col: str, tokens_col: str, bits: int = 32
+) -> DataFrame:
+    """(id, token-array) -> (file_id, sim): SimHash whose bit contributions
+    come from the first 32 md5 bits of each DISTINCT token instead of the
+    seeded splitmix family.
+
+    Test/oracle hash family (production signatures stay the vectorized
+    seeded kernel in functions/hashing.py): md5 is reproducible in any
+    engine -- DuckDB `('0x' || substr(md5(tok), 1, 8))::BIGINT` -- so the
+    parts of the SimHash pass that can actually be wrong (banded block
+    probing, the pigeonhole guarantee, the Hamming filter) get a
+    SQL-expressible brute-force twin. Majority ties -> 0, matching
+    simhash_batch. Token-less rows drop (explode), matching the SQL unnest.
+    All JVM-side: md5/conv/bit ops in codegen, one hash-agg per file_id.
+    """
+    toks = df.select(
+        F.col(id_col).alias("file_id"),
+        F.explode(F.array_distinct(F.col(tokens_col))).alias("_tok"),
+    )
+    h = F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+    hashed = toks.select("file_id", h.alias("h"))
+    aggs = [F.count("*").alias("n")] + [
+        F.sum(F.shiftrightunsigned(F.col("h"), j).bitwiseAND(F.lit(1))).alias(f"b{j}")
+        for j in range(bits)
+    ]
+    g = hashed.groupBy("file_id").agg(*aggs)
+    sig = F.lit(0).cast("long")
+    for j in range(bits):
+        sig = sig + F.when(
+            2 * F.col(f"b{j}") > F.col("n"), F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return g.select("file_id", sig.alias("sim"))
+
+
+def candidate_pairs(
+    sims: DataFrame, cfg: DedupConfig, exact_hot: bool = False
+) -> DataFrame:
+    """Block-bucket self-join + exact Hamming filter -> (a_id,b_id,method).
+
+    exact_hot=True forces salted all-pairs expansion of over-cap buckets
+    (pair-level consumers that need the complete pair set); the default
+    star-pairs hot buckets, which preserves connected components."""
+    # lazy localCheckpoint: consumed by bands + both rescore join sides --
+    # compute-once without leaking a plan-keyed CacheManager entry
+    sims = sims.localCheckpoint(eager=False)
     bands = simhash_bands(sims, cfg)
-    cands = banded_self_join(bands, cfg, method="simhash")
+    cands = banded_self_join(bands, cfg, method="simhash", exact_hot=exact_hot)
     a_sim = sims.select(F.col("file_id").alias("a_id"), F.col("sim").alias("a_sim"))
     b_sim = sims.select(F.col("file_id").alias("b_id"), F.col("sim").alias("b_sim"))
     return (

@@ -206,3 +206,41 @@ def test_simhash_block_combo_guarantee(spark):
     with pytest.raises(ValueError):
         DedupConfig(simhash_tables=8, simhash_block_combo=4,
                     hamming_threshold=5)
+
+
+def test_md5_simhash_matches_hashlib_oracle(spark):
+    """md5-family SimHash (the DuckDB-checkable twin) vs a pure-Python
+    transcription: first 8 md5 hex digits per distinct token, bit-majority
+    with ties -> 0."""
+    import hashlib
+
+    from microdeduplication_spark.operators.simhash import (
+        md5_simhash_signatures,
+    )
+
+    docs = [
+        (1, ["alpha", "beta", "gamma"]),
+        (2, ["alpha", "beta", "gamma", "beta"]),   # dup token: distinct first
+        (3, ["x"]),
+        (4, []),                                   # token-less: dropped
+        (5, ["alpha", "zeta"]),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, toks array<string>")
+    got = {
+        r["file_id"]: r["sim"]
+        for r in md5_simhash_signatures(df, "doc_id", "toks").collect()
+    }
+
+    def oracle(toks):
+        hs = [
+            int(hashlib.md5(t.encode()).hexdigest()[:8], 16)
+            for t in dict.fromkeys(toks)
+        ]
+        sig = 0
+        for j in range(32):
+            if 2 * sum((h >> j) & 1 for h in hs) > len(hs):
+                sig |= 1 << j
+        return sig
+
+    want = {i: oracle(t) for i, t in docs if t}
+    assert got == want
