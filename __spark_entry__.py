@@ -253,11 +253,14 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_cosine_similar_pairs(spark, sf_dir) -> DataFrame:
+    """Exact all-pairs cosine via the distributed block-grid matmul -- no
+    driver collect anywhere in the lineage (brute_force_pairs, the
+    broadcast-index kernel, remains the small-scale pytest twin)."""
     from microdeduplication_spark.operators.similarity_search import (
-        brute_force_pairs,
+        block_grid_pairs,
     )
 
-    return brute_force_pairs(_emb(spark, sf_dir), threshold=0.45).select(
+    return block_grid_pairs(_emb(spark, sf_dir), threshold=0.45).select(
         "a_id", "b_id", F.round(F.col("cos"), 4).alias("cos_sim")
     )
 

@@ -82,6 +82,101 @@ def brute_force_pairs(
     return sdf.mapInPandas(op, schema="a_id long, b_id long, cos double")
 
 
+def block_grid_pairs(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.9, n_blocks: int = 8,
+) -> DataFrame:
+    """Exact all-pairs cosine >= threshold, fully distributed (no driver
+    collect): the scale-correct replacement for brute_force_pairs.
+
+    Grid decomposition: each vector lands in one of `n_blocks` hash blocks;
+    the B(B+1)/2 block PAIRS (i <= j) are the work units. Both sides
+    replicate into the block pairs they participate in (a broadcast join
+    against the tiny block-pair table -- each vector is sent to B+1 grid
+    cells), then a cogrouped applyInPandas runs one float64 numpy matmul
+    per grid cell. Same output as brute_force_pairs -- exact, not ANN.
+
+    Scale accounting: communication O(n*B) rows, compute O(n^2) total
+    (inherent to exact all-pairs) split into B(B+1)/2 independent tasks of
+    ~ (n/B)^2 each; per-task memory is 2*(n/B)*dim*8 bytes, so pick
+    n_blocks ~ n*dim*16 / executor_mem. Adding executors splits the grid --
+    nothing is broadcast except the B^2-row pair table, and the driver
+    never sees a vector.
+    """
+    import pandas as pd
+
+    spark = emb.sparkSession
+    sdf = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).cast("int").alias("blk"),
+    )
+    bp = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    # re-alias every column on both sides: left and right share the sdf/bp
+    # lineage, and cogroup rejects plans whose children carry the same
+    # attribute ids (fresh aliases give each side its own)
+    left = (
+        sdf.alias("l")
+        .join(F.broadcast(bp.alias("p1")), F.col("l.blk") == F.col("p1.bi"))
+        .select(
+            F.col("p1.bi").alias("bi"), F.col("p1.bj").alias("bj"),
+            F.col("l.id").alias("id"), F.col("l.v").alias("v"),
+        )
+    )
+    right = (
+        sdf.alias("r")
+        .join(F.broadcast(bp.alias("p2")), F.col("r.blk") == F.col("p2.bj"))
+        .select(
+            F.col("p2.bi").alias("bi"), F.col("p2.bj").alias("bj"),
+            F.col("r.id").alias("id"), F.col("r.v").alias("v"),
+        )
+    )
+
+    def _norm_mat(pdf):
+        ids = pdf["id"].to_numpy(dtype=np.int64)
+        m = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0] = 1.0
+        return ids, m / n[:, None]
+
+    empty = pd.DataFrame(
+        {
+            "a_id": np.array([], dtype=np.int64),
+            "b_id": np.array([], dtype=np.int64),
+            "cos": np.array([], dtype=np.float64),
+        }
+    )
+
+    def score(key, lpdf, rpdf):
+        i, j = key
+        if not len(lpdf) or not len(rpdf):
+            return empty
+        a_ids, am = _norm_mat(lpdf)
+        b_ids, bm = _norm_mat(rpdf)
+        sims = am @ bm.T
+        ai, bi = np.nonzero(sims >= threshold)
+        la, rb = a_ids[ai], b_ids[bi]
+        # diagonal cells see each unordered pair twice (and self-pairs);
+        # off-diagonal cells see it exactly once in arbitrary orientation
+        keep = (la < rb) if i == j else (la != rb)
+        return pd.DataFrame(
+            {
+                "a_id": np.minimum(la[keep], rb[keep]),
+                "b_id": np.maximum(la[keep], rb[keep]),
+                "cos": sims[ai[keep], bi[keep]],
+            }
+        )
+
+    return (
+        left.groupby("bi", "bj")
+        .cogroup(right.groupby("bi", "bj"))
+        .applyInPandas(score, schema="a_id long, b_id long, cos double")
+    )
+
+
 def brute_force_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",

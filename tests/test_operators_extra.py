@@ -327,3 +327,33 @@ def test_reference_snm_dedup_plan_has_no_single_partition_exchange(spark):
     reps, clusters = snm_dedup(parse_product_lines(lines), window=3)
     plan = clusters._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_block_grid_pairs_equals_broadcast_bruteforce(spark):
+    """The distributed grid matmul must reproduce the broadcast-index kernel
+    exactly (same pairs, same cosines) -- including vectors hashing into
+    every grid cell and zero vectors."""
+    from microdeduplication_spark.operators.similarity_search import (
+        block_grid_pairs,
+        brute_force_pairs,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.standard_normal((40, 16))
+    rows = []
+    for i in range(40):
+        rows.append((i, [float(x) for x in base[i]]))
+        # planted near-dup: tiny perturbation
+        rows.append((i + 100, [float(x) for x in base[i] + 0.01 * rng.standard_normal(16)]))
+    rows.append((999, [0.0] * 16))  # zero vector: norm guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    want = {
+        (r["a_id"], r["b_id"]): round(r["cos"], 9)
+        for r in brute_force_pairs(df, threshold=0.6).collect()
+    }
+    got = {
+        (r["a_id"], r["b_id"]): round(r["cos"], 9)
+        for r in block_grid_pairs(df, threshold=0.6, n_blocks=4).collect()
+    }
+    assert got == want
+    assert len(got) >= 40  # every planted twin found
