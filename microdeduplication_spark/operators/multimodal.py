@@ -2,15 +2,19 @@
 
 Media payloads are opaque `binary` columns with typed metadata; decode /
 feature-extraction steps run as Arrow-batched `mapInPandas` operators so the
-Spark-side contract (schema, batching, partitioning) is real and tested even
-though the actual codecs are NOT available in this container. The decode
-kernels are therefore stubbed:
+Spark-side contract (schema, batching, partitioning) is real and tested.
+Decode kernels, by format:
 
-- `deterministic_fake=True` (default in tests) produces seeded, reproducible
-  pseudo-features derived from the payload bytes -- the full pipeline runs.
-- `deterministic_fake=False` raises NotImplementedError("media codecs not
-  available in this environment") at evaluation time, marking exactly where a
-  real libjpeg/ffmpeg kernel plugs in.
+- **WAV (audio/wav)**: REAL decode via stdlib `wave` -- PCM to float mono,
+  features = header stats + per-segment RMS energy + zero-crossing rate.
+- **PNG (image/png)**: REAL decode via stdlib `zlib` -- chunk walk, IDAT
+  inflate, scanline unfilter (types 0-4 incl. Paeth), features = geometry +
+  per-channel mean/std + 16-bin luma histogram. 8-bit, non-interlaced.
+- everything else (JPEG, MP4, ...): codecs are NOT in this container;
+  `deterministic_fake=True` (default in tests) produces seeded pseudo-
+  features from the payload bytes, `deterministic_fake=False` raises
+  NotImplementedError at evaluation time for those mimes only -- marking
+  exactly where a libjpeg/ffmpeg kernel plugs in.
 
 Scale notes: payloads never pass through Python row-at-a-time; mapInPandas
 streams Arrow batches, and the output drops the binary column as early as
@@ -21,6 +25,10 @@ are plan-time literals (re-plannable by AQE like any other stage).
 from __future__ import annotations
 
 import hashlib
+import io
+import struct
+import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -47,28 +55,162 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
     return rng.standard_normal(dim).astype(np.float32)
 
 
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """WAV bytes -> (mono float64 samples in [-1, 1], sample_rate).
+    Stdlib `wave`: PCM 8/16/32-bit; 8-bit is unsigned per the RIFF spec."""
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
+        raw = w.readframes(w.getnframes())
+    if width == 1:
+        x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        x = (x - 128.0) / 128.0
+    elif width == 2:
+        x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    elif width == 4:
+        x = np.frombuffer(raw, dtype="<i4").astype(np.float64) / 2147483648.0
+    else:
+        raise NotImplementedError(f"WAV sample width {width}")
+    if n_ch > 1:
+        x = x.reshape(-1, n_ch).mean(axis=1)
+    return x, rate
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # color type -> samples per pixel
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes -> (H, W, C) uint8. Stdlib only: chunk walk, zlib inflate,
+    scanline unfilter (filter types 0-4, incl. Paeth). Supports bit depth 8,
+    color types gray / RGB / gray+alpha / RGBA, non-interlaced."""
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # len + type + data + crc
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace}"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        row = np.frombuffer(
+            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
+        ).copy()
+        ftype = raw[y * (stride + 1)]
+        if ftype == 0:
+            line = row
+        elif ftype == 2:  # up
+            line = row + prev
+        elif ftype in (1, 3, 4):  # sub / average / paeth need left scan
+            line = row
+            for x in range(stride):
+                left = int(line[x - ch]) if x >= ch else 0
+                up = int(prev[x])
+                if ftype == 1:
+                    pred = left
+                elif ftype == 3:
+                    pred = (left + up) // 2
+                else:
+                    ul = int(prev[x - ch]) if x >= ch else 0
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
+                line[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype}")
+        out[y] = line
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def wav_features(payload: bytes, dim: int) -> np.ndarray:
+    """Header stats + overall RMS/zero-crossing rate + per-segment RMS."""
+    x, rate = decode_wav(payload)
+    n = len(x)
+    head = [
+        rate / 48000.0,
+        n / max(rate, 1),                              # duration sec
+        float(np.sqrt(np.mean(x**2))) if n else 0.0,   # overall RMS
+        float(np.mean(np.abs(np.diff(np.signbit(x).astype(np.int8)))))
+        if n > 1 else 0.0,                             # zero-crossing rate
+    ]
+    n_seg = max(dim - len(head), 1)
+    seg_rms = np.zeros(n_seg)
+    if n:
+        bounds = np.linspace(0, n, n_seg + 1).astype(int)
+        for s in range(n_seg):
+            seg = x[bounds[s]:bounds[s + 1]]
+            if len(seg):
+                seg_rms[s] = np.sqrt(np.mean(seg**2))
+    return np.concatenate([head, seg_rms])[:dim].astype(np.float32)
+
+
+def png_features(payload: bytes, dim: int) -> np.ndarray:
+    """Geometry + per-channel mean/std + 16-bin luma histogram."""
+    img = decode_png(payload)
+    h, w, ch = img.shape
+    flat = img.reshape(-1, ch).astype(np.float64)
+    means = flat.mean(axis=0) / 255.0
+    stds = flat.std(axis=0) / 255.0
+    luma = flat[:, : min(ch, 3)].mean(axis=1)
+    hist = np.histogram(luma, bins=16, range=(0, 256))[0] / max(luma.size, 1)
+    feats = np.concatenate(
+        [[w / 4096.0, h / 4096.0, float(ch)], means, stds, hist]
+    )
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(feats))] = feats[:dim]
+    return out
+
+
+_REAL_KERNELS = {"audio/wav": wav_features, "image/png": png_features}
+
+
 def extract_features(
     media: DataFrame, dim: int = 64, deterministic_fake: bool = True
 ) -> DataFrame:
     """binary payload -> fixed-dim feature vector via Arrow mapInPandas.
 
-    Real implementation point: replace _fake_features with an image decode +
-    CNN/CLIP embed (or mel-spectrogram for audio). The Spark contract --
-    Arrow batch in, Arrow batch out, binary column dropped on output -- is
-    identical either way.
+    deterministic_fake=True: seeded pseudo-features for every row (test
+    reproducibility -- synthetic payloads are not valid media).
+    deterministic_fake=False: REAL decode for WAV (stdlib wave) and PNG
+    (stdlib zlib + unfilter); mimes without an in-container codec (JPEG,
+    MP4, ...) raise NotImplementedError at the exact plug-in point for a
+    libjpeg/ffmpeg kernel. The Spark contract -- Arrow batch in, Arrow
+    batch out, binary column dropped on output -- is identical either way.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not deterministic_fake:
-                raise NotImplementedError(
-                    "media codecs not available in this environment; "
-                    "plug a real decode kernel here"
-                )
-            feats = [
-                _fake_features(p if p is not None else b"", dim)
-                for p in pdf["payload"]
-            ]
+            feats = []
+            for p, mime in zip(pdf["payload"], pdf["mime"]):
+                p = p if p is not None else b""
+                if deterministic_fake:
+                    feats.append(_fake_features(p, dim))
+                elif mime in _REAL_KERNELS:
+                    feats.append(_REAL_KERNELS[mime](bytes(p), dim))
+                else:
+                    raise NotImplementedError(
+                        f"no in-container codec for {mime}; plug a real "
+                        "decode kernel here (wav/png are implemented)"
+                    )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

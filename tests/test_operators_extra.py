@@ -186,16 +186,122 @@ def test_multimodal_features_and_dedup(spark):
 
 
 def test_multimodal_stub_raises_without_fake(spark):
+    """Formats without an in-container codec (mp4) still raise the honest
+    NotImplementedError on the real-decode path; wav/png no longer stub."""
     from microdeduplication_spark.operators.multimodal import (
         extract_features,
         synth_media,
     )
-    from py4j.protocol import Py4JJavaError
 
-    media = synth_media(spark, n=4, seed=2)
+    media = synth_media(spark, n=9, seed=2).where(F.col("kind") == "video")
     with pytest.raises(Exception) as ei:
         extract_features(media, dim=4, deterministic_fake=False).collect()
-    assert "NotImplementedError" in str(ei.value) or "media codecs" in str(ei.value)
+    assert "NotImplementedError" in str(ei.value) or "no in-container codec" in str(ei.value)
+
+
+def _make_wav(rate=8000, freq=440.0, secs=0.25, width=2, channels=1):
+    import io
+    import wave
+
+    n = int(rate * secs)
+    t = np.arange(n) / rate
+    x = np.sin(2 * np.pi * freq * t)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(width)
+        w.setframerate(rate)
+        pcm = (x * 32767).astype("<i2")
+        if channels == 2:
+            pcm = np.repeat(pcm, 2)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()
+
+
+def _make_png(img: np.ndarray, filters=None) -> bytes:
+    """Minimal PNG encoder (8-bit gray/RGB/RGBA, per-row filter choice)."""
+    import struct
+    import zlib
+
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int16)
+    for y in range(h):
+        line = img[y].reshape(-1).astype(np.int16)
+        f = (filters or [0] * h)[y]
+        raw.append(f)
+        left = np.concatenate([np.zeros(ch, np.int16), line[:-ch]])
+        ul = np.concatenate([np.zeros(ch, np.int16), prev[:-ch]])
+        if f == 0:
+            enc = line
+        elif f == 1:
+            enc = line - left
+        elif f == 2:
+            enc = line - prev
+        elif f == 3:
+            enc = line - (left + prev) // 2
+        else:  # paeth
+            p = left + prev - ul
+            pa, pb, pc = np.abs(p - left), np.abs(p - prev), np.abs(p - ul)
+            pred = np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, prev, ul))
+            enc = line - pred
+        raw.extend((enc & 0xFF).astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_multimodal_real_wav_png_decode(spark):
+    """The real decode branch: hand-built WAV and PNG bytes through the
+    mapInPandas kernel, checked against direct numpy expectations."""
+    from microdeduplication_spark.operators.multimodal import (
+        decode_png,
+        extract_features,
+        png_features,
+        wav_features,
+    )
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(12, 10, 3), dtype=np.uint8)
+    # exercise every filter type incl. Paeth
+    png = _make_png(img, filters=[0, 1, 2, 3, 4] * 2 + [4, 3])
+    assert np.array_equal(decode_png(png), img)
+    gray = rng.integers(0, 256, size=(5, 7, 1), dtype=np.uint8)
+    assert np.array_equal(decode_png(_make_png(gray, filters=[4, 3, 2, 1, 0])), gray)
+
+    wav = _make_wav()
+    rows = [
+        (1, "audio", "audio/wav", 0, 0, 250, bytearray(wav)),
+        (2, "image", "image/png", 10, 12, 0, bytearray(png)),
+    ]
+    media = spark.createDataFrame(
+        rows,
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary",
+    )
+    got = {
+        r["media_id"]: np.array(r["features"], dtype=np.float32)
+        for r in extract_features(media, dim=16, deterministic_fake=False).collect()
+    }
+    np.testing.assert_allclose(got[1], wav_features(wav, 16), rtol=1e-6)
+    np.testing.assert_allclose(got[2], png_features(png, 16), rtol=1e-6)
+    # sine RMS ~ 1/sqrt(2), duration 0.25 s at 8 kHz
+    assert abs(got[1][2] - 0.7071) < 0.01
+    assert abs(got[1][1] - 0.25) < 1e-6
+    # png features: width/height/channels slots
+    np.testing.assert_allclose(got[2][:3], [10 / 4096.0, 12 / 4096.0, 3.0], rtol=1e-5)
 
 
 def test_hot_bucket_star_elision_and_exact_mode(spark):

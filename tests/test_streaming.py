@@ -164,3 +164,58 @@ def test_windowed_stats_watermark_drops_late_rows(spark, cfg, tmp_path):
         assert len(out) == 1 and out[0]["n_files"] == 2
     finally:
         q.stop()
+
+
+def test_stream_ingest_bucketed_sink_prunes_partitions(spark, cfg, tmp_path):
+    """The idempotence anti-join must read only the micro-batch's touched
+    key buckets: the sink is hive-partitioned by key_bucket and the bucket
+    filter lands as a PartitionFilter on the scan (VERDICT r2 #7)."""
+    from microdeduplication_spark.streaming.incremental import read_sink_buckets
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    rows = [("r", f"f{i}.py", f"c{i}", "python", f"v = {i}") for i in range(12)]
+    _write_batch(spark, src, rows)
+    q = stream_ingest(spark, src, sink, cfg, ck, n_buckets=8)
+    try:
+        q.processAllAvailable()
+        # repeat + new file: idempotence must hold on the bucketed sink too
+        _write_batch(spark, src, [rows[0],
+                                  ("r", "new.py", "cN", "python", "w = 9")])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == 13 and out.select("file_id").distinct().count() == 13
+    buckets = sorted(
+        r["key_bucket"] for r in out.select("key_bucket").distinct().collect()
+    )
+    assert len(buckets) >= 2  # 13 keys over 8 buckets: multiple dirs exist
+    one = read_sink_buckets(spark, sink, [buckets[0]])
+    plan = one._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "key_bucket" in plan
+    assert one.select("key_bucket").distinct().collect()[0][0] == buckets[0]
+
+
+def test_stream_ingest_restart_from_checkpoint(spark, cfg, tmp_path):
+    """Kill the query, drop more files, restart with the same checkpoint:
+    no reprocessing of consumed input, idempotence preserved."""
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    _write_batch(spark, src, [("r", "a.py", "c1", "python", "x = 1")])
+    q = stream_ingest(spark, src, sink, cfg, ck, n_buckets=8)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    _write_batch(spark, src, [("r", "a.py", "c1", "python", "x = 1"),
+                              ("r", "b.py", "c2", "python", "y = 2")])
+    q2 = stream_ingest(spark, src, sink, cfg, ck, n_buckets=8)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    out = spark.read.parquet(sink)
+    assert out.count() == 2 and out.select("file_id").distinct().count() == 2
