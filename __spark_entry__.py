@@ -113,11 +113,11 @@ def q_ngram_jaccard_pairs(spark, sf_dir) -> DataFrame:
     product by construction, so it is guarded against being pointed at a
     big table -- the production path at scale is q_minhash_lsh_pairs."""
     d = _docs(spark, sf_dir)
-    n = d.count()
-    if n > BRUTE_FORCE_MAX_DOCS:
+    # LIMIT-probe guard: scans at most cap+1 rows instead of a full count
+    if d.limit(BRUTE_FORCE_MAX_DOCS + 1).count() > BRUTE_FORCE_MAX_DOCS:
         raise ValueError(
             f"ngram_jaccard_pairs is the brute-force oracle twin of "
-            f"minhash_lsh_pairs; refusing {n} docs (> {BRUTE_FORCE_MAX_DOCS})"
+            f"minhash_lsh_pairs; refusing > {BRUTE_FORCE_MAX_DOCS} docs"
         )
     g = _doc_ngrams(d)
     a = g.select(F.col("doc_id").alias("a_id"), F.col("g").alias("ga"))
