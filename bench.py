@@ -62,7 +62,7 @@ def ensure_bench_corpus(sf: float, seed: int = 42) -> str:
 
 
 def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
-        skip_queries: bool = False) -> dict:
+        skip_queries: bool = False, collect_stages: bool = False) -> dict:
     from microdeduplication_spark.config import DedupConfig
     from microdeduplication_spark.pipeline import run_pipeline
     from microdeduplication_spark.session import build_session
@@ -78,8 +78,13 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
     # dominates the finer layout. A real 100 TB table sizes partitions by
     # spark.sql.files.maxPartitionBytes + AQE coalescing instead.
     n_parts = int(os.environ.get("SPARK_GRAFT_BENCH_PARTS", "32"))
+    # SPARK_GRAFT_EXECUTORS=E: E separate executor JVMs (local-cluster) --
+    # the scaling bench's executor-mode legs; unset = single-JVM local[cpus]
+    n_exec = int(os.environ.get("SPARK_GRAFT_EXECUTORS", "0")) or None
     spark = build_session(
-        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=n_parts
+        app_name=f"bench-{cpus}", cores=cpus, shuffle_partitions=n_parts,
+        extra_conf={"spark.ui.enabled": "true"} if collect_stages else None,
+        executors=n_exec,
     )
     try:
         timings: dict[str, float] = {}
@@ -124,7 +129,7 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 timings[name] = round(time.monotonic() - t0, 3)
                 log(f"{name}: {n} rows in {timings[name]}s")
 
-        return {
+        out = {
             "metric": "dedup_e2e_files_per_sec",
             "value": round(n_files / dedup_sec, 1),
             "unit": "files/sec",
@@ -135,8 +140,23 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
             "cpus": cpus,
             "deltas_vs_prev": deltas_vs_prev(timings),
         }
+        if collect_stages:
+            import urllib.request
+
+            url = (
+                f"{spark.sparkContext.uiWebUrl}/api/v1/applications/"
+                f"{spark.sparkContext.applicationId}/stages"
+            )
+            with urllib.request.urlopen(url) as r:
+                out["_stages"] = json.load(r)
+        return out
     finally:
         spark.stop()
+
+
+def run_profiled(sf_dir: str, cpus: int) -> dict:
+    """Pipeline-only run with per-stage REST metrics attached (_stages)."""
+    return run(sf_dir, cpus, skip_queries=True, collect_stages=True)
 
 
 def deltas_vs_prev(timings: dict[str, float]) -> dict:

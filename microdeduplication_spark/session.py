@@ -18,6 +18,8 @@ def build_session(
     cores: int | None = None,
     shuffle_partitions: int | None = None,
     extra_conf: dict | None = None,
+    executors: int | None = None,
+    executor_mem_mb: int = 6144,
 ) -> SparkSession:
     """Build a SparkSession.
 
@@ -25,11 +27,30 @@ def build_session(
     module is bypassed entirely (spark-submit provides the session) -- every
     pipeline function takes the session as an argument and never calls
     getOrCreate itself.
+
+    executors=E switches to local-cluster[E, cores/E, executor_mem_mb]:
+    E SEPARATE executor JVMs (own heap, own GC, own python workers) with
+    netty shuffle between them -- the closest single-box model of the north
+    rule's "N vs 4N executors" pair, and the configuration the scaling
+    bench uses for its executor-mode legs (scale-out adds executors of
+    FIXED shape, exactly like a real cluster).
     """
     cores = cores or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or max(int(cores), 4)
+    if executors:
+        per = max(cores // executors, 1)
+        master = f"local-cluster[{executors},{per},{executor_mem_mb}]"
+        # local-cluster executors fork their own python workers, which do
+        # NOT inherit the driver's sys.path -- ship the repo root explicitly
+        # (a real cluster would use --py-files with a package zip instead)
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        worker_path = repo_root + os.pathsep + os.environ.get("PYTHONPATH", "")
+        extra_conf = dict(extra_conf or {})
+        extra_conf.setdefault("spark.executorEnv.PYTHONPATH", worker_path)
+    else:
+        master = f"local[{cores}]"
     b = (
-        SparkSession.builder.master(f"local[{cores}]")
+        SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
@@ -44,6 +65,8 @@ def build_session(
         # batch-throughput GC: ParallelGC cut measured total CPU by ~20% vs
         # the G1 default on the dedup pipeline (one shared heap in local mode)
         .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        .config("spark.executor.memory", f"{executor_mem_mb}m")
         # single-host shuffle goes through the page cache; lz4 is pure CPU
         # overhead here. A network-shuffling cluster keeps compression ON --
         # this module is explicitly the local stand-in (see docstring).

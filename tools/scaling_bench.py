@@ -38,8 +38,12 @@ def _steal_sec() -> float:
         return 0.0
 
 
-def run_level(cpus: int, sf_dir: str) -> dict:
-    """One bench pipeline run in a fresh interpreter/JVM, pinned to `cpus`."""
+def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
+    """One bench pipeline run in a fresh interpreter/JVM, pinned to `cpus`.
+
+    execs=E runs the level as E separate executor JVMs (local-cluster) of
+    fixed shape -- the N-vs-4N-EXECUTORS pair of the north rule; None keeps
+    the single-JVM local[cpus] thread-scaling legs."""
     code = (
         "import json, sys; sys.path.insert(0, %r); import bench; "
         "print('RESULT ' + json.dumps(bench.run(%r, %d, skip_queries=True)))"
@@ -48,11 +52,14 @@ def run_level(cpus: int, sf_dir: str) -> dict:
     pin = (
         ["taskset", "-c", f"0-{cpus - 1}"] if shutil.which("taskset") else []
     )
+    env = dict(os.environ)
+    if execs:
+        env["SPARK_GRAFT_EXECUTORS"] = str(execs)
     t0 = time.monotonic()
     s0 = _steal_sec()
     p = subprocess.run(
         pin + [sys.executable, "-c", code],
-        capture_output=True, text=True, cwd=REPO, timeout=3600,
+        capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
     )
     if p.returncode != 0:
         raise RuntimeError(f"level {cpus} failed:\n{p.stderr[-3000:]}")
@@ -68,17 +75,26 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
+    # mode "exec": 1 executor JVM of n cores vs 4 executor JVMs of n cores
+    # (scale-out adds executors of fixed shape -- separate heaps/GC, netty
+    # shuffle). Default "threads": single JVM local[n] vs local[4n].
+    mode = sys.argv[3] if len(sys.argv) > 3 else "threads"
     # warm the corpus cache once so neither level pays generation cost
     sys.path.insert(0, REPO)
     import bench
 
     bench.ensure_bench_corpus(bench._sf_of(sf_dir))
 
-    lo = run_level(n, sf_dir)
-    hi = run_level(4 * n, sf_dir)
+    if mode == "exec":
+        lo = run_level(n, sf_dir, execs=1)
+        hi = run_level(4 * n, sf_dir, execs=4)
+    else:
+        lo = run_level(n, sf_dir)
+        hi = run_level(4 * n, sf_dir)
     tp_lo, tp_hi = lo["value"], hi["value"]
     eff = (tp_hi / tp_lo) / 4.0
     summary = {
+        "mode": mode,
         "sf": lo["sf"], "n_files": lo["n_files"],
         "cores_n": n, "files_per_sec_n": tp_lo,
         "cores_4n": 4 * n, "files_per_sec_4n": tp_hi,
@@ -105,7 +121,7 @@ def main() -> None:
                 "|---|---|---|---|---|---|---|---|---|\n"
             )
         f.write(
-            f"| {time.strftime('%Y-%m-%d %H:%M')} | {summary['sf']} "
+            f"| {time.strftime('%Y-%m-%d %H:%M')} ({mode}) | {summary['sf']} "
             f"| {summary['n_files']} | {n} | {tp_lo} | {4 * n} | {tp_hi} "
             f"| {summary['speedup']}x | {summary['scaling_efficiency']} |\n"
         )
