@@ -13,7 +13,7 @@ counts (Deduplication.java:31). Spark-first equivalents:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -48,6 +48,94 @@ def parse_quads(lines: DataFrame, col: str = "value") -> DataFrame:
         clean(F.element_at(parts, 2)).alias("subject"),
         clean(F.element_at(parts, 3)).alias("predicate"),
         clean(F.element_at(parts, 4)).alias("obj"),
+    )
+
+
+def ogp_rewrite(col: Column) -> Column:
+    """Broken-OGP attribute pre-pass (X2 quirk, WORKAROUND_BROKEN_OGP).
+
+    The reference rewrites `property="article:` -> `property="og:article:`
+    (and `profile:` likewise) on the raw HTML before extraction
+    (MicroDataExtraction.java:65-68, plain-string replaceAll). Literal
+    replace, JVM-side."""
+    c = F.replace(col, F.lit('property="article:'), F.lit('property="og:article:'))
+    return F.replace(c, F.lit('property="profile:'), F.lit('property="og:profile:'))
+
+
+def _vcard_fix(key: Column, s: Column) -> Column:
+    """The vcard-domain workaround for ONE ` .`-terminated statement.
+
+    MicroDataExtraction.addURLToTriple (java:255-287): vcard triples carry a
+    blank-node subject with no domain; when the subject (first space-separated
+    field) is >= 25 chars and contains ':node', it is replaced by
+    `<url>` where url = the '::'-joined key with field 5 (the datetime)
+    blanked, concatenated WITHOUT separators (String.join("", parts)).
+
+    Faithful quirks kept:
+    - the reference's `keyParts[3] == "null"` uses Java REFERENCE equality
+      on a freshly split string, so the "blank out a null query field"
+      branch can never fire; we reproduce the no-op by not implementing it.
+    - length/contains guards short-circuit exactly as in Java.
+    Deviation: a key with < 5 '::' fields would throw AIOOBE in the
+    reference (aborting that extractor's whole document via the catch-all);
+    here the statement is simply left unchanged."""
+    kp = F.split(key, "::")
+    url = F.concat_ws(
+        "", F.element_at(kp, 1), F.element_at(kp, 2),
+        F.element_at(kp, 3), F.element_at(kp, 4),
+    )
+    subj = F.substring_index(s, " ", 1)
+    fixable = (
+        s.contains("vcard")
+        & (F.length(subj) >= 25)
+        & subj.contains(":node")
+        & (F.size(kp) >= 5)
+    )
+    rest = F.substr(s, F.locate(" ", s) + F.lit(1))
+    return F.when(
+        fixable, F.concat(F.lit("<"), url, F.lit("> "), rest)
+    ).otherwise(s)
+
+
+def build_quads(key: Column, ntriples: Column) -> Column:
+    """N-triples blob (one doc) -> array of N-quad lines (X2, quad building).
+
+    Reference MicroDataExtraction.setStatements (java:218-253):
+    split on `(\\s\\.)(\\r?\\n)` (the terminator is CONSUMED by the split),
+    drop empties, re-append ` .`, apply the vcard-domain workaround, then
+    prefix `<key> ` to form the quad. Pure Column: split + filter +
+    transform higher-order functions, no Python.
+
+    Catalyst note: the transform lambda runs over a materialized array
+    column, so per-element work is linear (see memory: inline exprs inside
+    HOF lambdas re-evaluate; `ntriples` here is a plain column reference,
+    not a computed expression -- callers should pass a materialized column).
+    """
+    stmts = F.filter(
+        F.split(ntriples, r"(\s\.)(\r?\n)"), lambda t: F.length(t) > 0
+    )
+    return F.transform(
+        stmts,
+        lambda t: F.concat(
+            F.lit("<"), key, F.lit("> "),
+            _vcard_fix(key, F.concat(t, F.lit(" ."))),
+        ),
+    )
+
+
+def quads_from_triples(
+    docs: DataFrame, key_col: str = "key", triples_col: str = "ntriples"
+) -> DataFrame:
+    """One row per built quad line: (key, quad). Dedup of identical triple
+    lines within a doc (removeDuplicateTriples, java:206-215) is the X3
+    within-doc pass -- compose with exact_dedup if needed."""
+    # two steps: selecting alias("key") alongside an expression that reads
+    # F.col("key") trips Spark 4's lateral-column-alias resolution
+    with_quads = docs.withColumn(
+        "_quads", build_quads(F.col(key_col), F.col(triples_col))
+    )
+    return with_quads.select(
+        F.col(key_col).alias("key"), F.explode("_quads").alias("quad")
     )
 
 
