@@ -314,6 +314,21 @@ def q_srp_knn_top3(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_ivf_knn_top3(spark, sf_dir) -> DataFrame:
+    """IVF-probed top-3 neighbors: the coarse-quantizer scale path for
+    knn_top3 (rows-only: spherical-k-means centroids are float-iteration
+    state DuckDB can't replay; recall vs brute force and the exact
+    nprobe=n_cells degradation are pytest-gated in
+    test_ivf_topk_recall_vs_bruteforce / test_ivf_respects_nprobe_...)."""
+    from microdeduplication_spark.operators.similarity_search import ivf_topk
+
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    return ivf_topk(
+        e, q, k=3, dim=64, n_cells=16, nprobe=4, sample_n=2048
+    ).select("q_id", "n_id", "rank")
+
+
 def q_pricing_summary(spark, sf_dir) -> DataFrame:
     """TPC-H Q1 shape: multi-agg groupBy (SURVEY.md A1/A2)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -709,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": q_embedding_norms,
         "srp_ann_pairs": q_srp_ann_pairs,
         "srp_knn_top3": q_srp_knn_top3,
+        "ivf_knn_top3": q_ivf_knn_top3,
         "pricing_summary": q_pricing_summary,
         "revenue_by_mktsegment": q_revenue_by_mktsegment,
         "nation_region_counts": q_nation_region_counts,

@@ -347,3 +347,132 @@ def srp_bucket_pairs(
         .where(F.col("cos") >= F.lit(threshold))
         .select("a_id", "b_id", "cos")
     )
+
+
+# --------------------------- IVF (coarse-quantizer ANN) ---------------------
+
+
+def ivf_train_centroids(
+    emb: DataFrame, dim: int, n_cells: int = 32, sample_n: int = 4096,
+    iters: int = 8, seed: int = 13,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer: (n_cells, dim) unit centroids.
+
+    Trains on a deterministic bounded sample (TakeOrdered by id hash,
+    `sample_n` rows) -- the standard IVF recipe: the quantizer is trained
+    on a sample, never the full corpus, so the only driver-side collect is
+    O(sample_n * dim) regardless of table size. Init = seeded sample rows;
+    empty cells keep their previous centroid. Fully deterministic for a
+    given (seed, corpus, sample_n).
+    """
+    rows = (
+        emb.select(
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"),
+            F.xxhash64(F.col(id_col)).alias("h"),
+        )
+        .orderBy("h", "id")
+        .limit(sample_n)
+        .collect()
+    )
+    m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(m, axis=1)
+    norms[norms == 0] = 1.0
+    m = m / norms[:, None]
+    n_cells = min(n_cells, len(m))
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(len(m), size=n_cells, replace=False)].copy()
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(n_cells):
+            members = m[assign == c]
+            if len(members):
+                mu = members.mean(axis=0)
+                n = np.linalg.norm(mu)
+                if n > 0:
+                    cent[c] = mu / n
+    return cent
+
+
+def _ivf_cells(
+    df: DataFrame, centroids: np.ndarray, nprobe: int,
+    id_col: str, vec_col: str, out_id: str,
+) -> DataFrame:
+    """(out_id, cell): each vector's `nprobe` nearest coarse cells.
+
+    Broadcast (n_cells, dim) matrix; one matmul + argpartition per Arrow
+    batch. nprobe=1 is index assignment; nprobe>1 is the query-side probe
+    list."""
+    import pandas as pd
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+    nprobe = min(nprobe, len(centroids))
+
+    def op(batches):
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["id"].to_numpy(dtype=np.int64)
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["v"]])
+            n = np.linalg.norm(v, axis=1)
+            n[n == 0] = 1.0
+            sims = (v / n[:, None]) @ cent.T
+            top = np.argpartition(-sims, nprobe - 1, axis=1)[:, :nprobe]
+            yield pd.DataFrame(
+                {
+                    out_id: np.repeat(ids, nprobe),
+                    "cell": top.ravel().astype(np.int32),
+                }
+            )
+
+    sdf = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return sdf.mapInPandas(op, schema=f"{out_id} long, cell int")
+
+
+def ivf_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
+    n_cells: int = 32, nprobe: int = 4, sample_n: int = 4096,
+    iters: int = 8, seed: int = 13,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """Top-k neighbors per query via an IVF coarse quantizer: the second
+    scale path for kNN beside srp_bucket_topk (brief: "IVF or LSH").
+
+    Corpus vectors are assigned to their nearest of `n_cells` spherical
+    k-means centroids; each query probes its `nprobe` nearest cells. The
+    candidate set is an equi join on `cell` -- both sides shuffle on the
+    cell key and scale out; nothing is broadcast except the (n_cells, dim)
+    centroid matrix. Candidates are rescored with exact cosine and ranked;
+    brute_force_topk is the oracle twin (recall gated in tests). Queries
+    whose true neighbors live outside the probed cells miss them (ANN
+    semantics); raise nprobe for recall, lower it for cost.
+    """
+    from pyspark.sql import Window as W
+
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            emb, dim, n_cells, sample_n, iters, seed, id_col, vec_col
+        )
+    assigned = _ivf_cells(emb, centroids, 1, id_col, vec_col, "n_id")
+    probes = _ivf_cells(queries, centroids, nprobe, id_col, vec_col, "q_id")
+    cands = (
+        probes.join(assigned, "cell")
+        .where(F.col("q_id") != F.col("n_id"))
+        .select("q_id", "n_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_v"))
+    c = emb.select(F.col(id_col).alias("n_id"), F.col(vec_col).alias("n_v"))
+    scored = (
+        cands.join(q, "q_id")
+        .join(c, "n_id")
+        .withColumn("cos", cosine(F.col("q_v"), F.col("n_v")))
+    )
+    w = W.partitionBy("q_id").orderBy(F.col("cos").desc(), F.col("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("q_id", "n_id", "cos", "rank")
+    )

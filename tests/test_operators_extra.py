@@ -463,3 +463,73 @@ def test_block_grid_pairs_equals_broadcast_bruteforce(spark):
     }
     assert got == want
     assert len(got) >= 40  # every planted twin found
+
+
+def test_ivf_topk_recall_vs_bruteforce(spark):
+    """IVF-probed top-k recovers the brute-force top-3 on planted clusters;
+    quantizer training is deterministic and nothing beyond the sample and
+    the centroid matrix crosses the driver."""
+    from microdeduplication_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+        ivf_train_centroids,
+    )
+
+    rng = np.random.default_rng(23)
+    rows = []
+    vid = 0
+    for _ in range(15):
+        v = rng.standard_normal(32).astype(np.float64)
+        v /= np.linalg.norm(v)
+        for _ in range(4):
+            jit = v + rng.standard_normal(32) * 0.02
+            rows.append((vid, [float(x) for x in jit]))
+            vid += 1
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") % 4 == 0)
+
+    want = {
+        (r["q_id"], r["n_id"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    }
+    got = {
+        (r["q_id"], r["n_id"])
+        for r in ivf_topk(
+            emb, queries, k=3, dim=32, n_cells=8, nprobe=3
+        ).collect()
+    }
+    recall = len(got & want) / len(want)
+    assert recall >= 0.95, recall
+
+    c1 = ivf_train_centroids(emb, dim=32, n_cells=8)
+    c2 = ivf_train_centroids(emb, dim=32, n_cells=8)
+    assert np.array_equal(c1, c2)
+    assert c1.shape == (8, 32)
+    assert np.allclose(np.linalg.norm(c1, axis=1), 1.0)
+
+
+def test_ivf_respects_nprobe_candidate_scope(spark):
+    """nprobe=n_cells degrades to exact (every cell probed): result must
+    equal brute force exactly, ranks included."""
+    from microdeduplication_spark.operators.similarity_search import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(40)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 5)
+    want = sorted(
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in brute_force_topk(emb, queries, k=3).collect()
+    )
+    got = sorted(
+        (r["q_id"], r["n_id"], r["rank"])
+        for r in ivf_topk(
+            emb, queries, k=3, dim=16, n_cells=4, nprobe=4
+        ).collect()
+    )
+    assert got == want
