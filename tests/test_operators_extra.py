@@ -533,3 +533,21 @@ def test_ivf_respects_nprobe_candidate_scope(spark):
         ).collect()
     )
     assert got == want
+
+
+def test_ivf_plan_is_equi_join_no_cartesian(spark):
+    """The IVF candidate stage must be an equi join on the cell key --
+    never a cartesian/broadcast-nested-loop over the corpus."""
+    from microdeduplication_spark.operators.similarity_search import ivf_topk
+
+    rng = np.random.default_rng(3)
+    rows = [
+        (i, [float(x) for x in rng.standard_normal(16)]) for i in range(60)
+    ]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = emb.where(F.col("vec_id") < 5)
+    plan = ivf_topk(
+        emb, queries, k=3, dim=16, n_cells=4, nprobe=2
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
