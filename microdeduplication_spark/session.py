@@ -70,8 +70,12 @@ def build_session(
         # single-host shuffle goes through the page cache; lz4 is pure CPU
         # overhead here. A network-shuffling cluster keeps compression ON --
         # this module is explicitly the local stand-in (see docstring).
-        .config("spark.shuffle.compress", "false")
-        .config("spark.shuffle.spill.compress", "false")
+        # SPARK_GRAFT_SHUFFLE_COMPRESS=true restores the cluster default
+        # (trades CPU for memory-bus bytes; measured in BENCH/BASELINE.md).
+        .config("spark.shuffle.compress",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
+        .config("spark.shuffle.spill.compress",
+                os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS", "false"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
     )

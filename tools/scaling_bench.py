@@ -55,19 +55,34 @@ def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
     env = dict(os.environ)
     if execs:
         env["SPARK_GRAFT_EXECUTORS"] = str(execs)
-    t0 = time.monotonic()
-    s0 = _steal_sec()
-    p = subprocess.run(
-        pin + [sys.executable, "-c", code],
-        capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
-    )
-    if p.returncode != 0:
-        raise RuntimeError(f"level {cpus} failed:\n{p.stderr[-3000:]}")
-    line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
-    out = json.loads(line[len("RESULT "):])
-    out["total_wall_sec"] = round(time.monotonic() - t0, 1)
-    out["steal_sec"] = round(_steal_sec() - s0, 1)
-    return out
+    # Interference rejection: the box is a VM on shared infrastructure and
+    # hypervisor steal bursts hit individual legs (observed: 60s+ of steal
+    # inside one ~150s leg, halving its throughput). Steal is externally
+    # imposed and measured, not chosen -- a leg whose steal exceeds
+    # STEAL_FRAC of its wall is re-run (up to MAX_TRIES), and every
+    # attempt's steal is reported so discarded runs stay visible.
+    STEAL_FRAC, MAX_TRIES = 0.05, 3
+    attempts = []
+    for _ in range(MAX_TRIES):
+        t0 = time.monotonic()
+        s0 = _steal_sec()
+        p = subprocess.run(
+            pin + [sys.executable, "-c", code],
+            capture_output=True, text=True, cwd=REPO, timeout=3600, env=env,
+        )
+        if p.returncode != 0:
+            raise RuntimeError(f"level {cpus} failed:\n{p.stderr[-3000:]}")
+        line = [l for l in p.stdout.splitlines() if l.startswith("RESULT ")][-1]
+        out = json.loads(line[len("RESULT "):])
+        out["total_wall_sec"] = round(time.monotonic() - t0, 1)
+        out["steal_sec"] = round(_steal_sec() - s0, 1)
+        attempts.append(out)
+        if out["steal_sec"] <= STEAL_FRAC * out["total_wall_sec"]:
+            break
+    # cleanest attempt wins (lowest steal fraction); all attempts recorded
+    best = min(attempts, key=lambda a: a["steal_sec"] / a["total_wall_sec"])
+    best["attempt_steals"] = [a["steal_sec"] for a in attempts]
+    return best
 
 
 def main() -> None:
@@ -103,6 +118,8 @@ def main() -> None:
         # hypervisor steal during each leg: non-trivial steal marks the row
         # as interference-degraded (shared-infrastructure VM)
         "steal_n_sec": lo["steal_sec"], "steal_4n_sec": hi["steal_sec"],
+        "attempt_steals_n": lo.get("attempt_steals"),
+        "attempt_steals_4n": hi.get("attempt_steals"),
     }
     print(json.dumps(summary))
 
