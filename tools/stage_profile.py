@@ -18,6 +18,7 @@ Usage:  taskset -c 0-7 python tools/stage_profile.py 8 [sf_dir]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import urllib.request
@@ -117,6 +118,11 @@ def main() -> None:
         "narrow_only_span_s": round(narrow_only, 2),
         "narrow_only_share": round(narrow_only / wall, 3),
     }))
+    dump = os.environ.get("SPARK_GRAFT_STAGE_DUMP")
+    if dump:
+        with open(dump, "w") as f:
+            json.dump({"cores": cores, "wall": wall, "rows": rows}, f)
+
     print("\nNarrow stages (tasks < cores), by span:", file=sys.stderr)
     for r in sorted(narrow, key=lambda r: -r["span"])[:25]:
         print(
