@@ -98,3 +98,65 @@ def test_eval_key_matches_java(spark, lines):
     got = sorted(r["key"] for r in eval_keys_from_lines(df).collect())
     want = sorted(_java_eval_key(l) for l in lines)
     assert got == want
+
+
+# ---- X2 quad building vs Java transcription (build_quads) ----
+
+# alphabet biased toward the splitter/workaround trigger material: spaces,
+# dots, CR/LF, '::', 'vcard', ':node' fragments and long runs
+_NT_ALPHABET = "ab<> .\n\r:_vcardnode0123456789"
+
+
+def _java_add_url_to_triple(key: str, statement: str) -> str:
+    if "vcard" not in statement:
+        return statement
+    parts = statement.split(" ")
+    if len(parts[0]) < 25:
+        return statement
+    if ":node" in parts[0]:
+        key_parts = key.split("::")
+        key_parts[4] = ""
+        url = "".join(key_parts)  # the == "null" branch is dead (ref equality)
+        parts[0] = "<" + url + ">"
+        statement = " ".join(parts)
+    return statement
+
+
+def _java_set_statements(key: str, ntriples: str) -> list[str]:
+    import re as _re
+
+    out = []
+    for statement in _re.split(r"(?:\s\.)(?:\r?\n)", ntriples):
+        if len(statement) == 0:
+            continue
+        statement = statement + " ."
+        statement = _java_add_url_to_triple(key, statement)
+        out.append("<" + key + "> " + statement)
+    return out
+
+
+@SETTINGS
+@given(
+    st.lists(st.text(_NT_ALPHABET, min_size=1, max_size=80),
+             min_size=1, max_size=12),
+    st.lists(st.text("abc0", min_size=1, max_size=8), min_size=5, max_size=5),
+)
+@example(
+    # vcard blank node long enough to rewrite, CRLF-terminated
+    ["_:node1234567890123456789vcard x ", "plain y "],
+    ["https", "h", "p", "null", "20150101"],
+)
+def test_build_quads_fuzz_vs_java(spark, lines, key_parts):
+    from pyspark.sql import functions as F
+
+    from microdeduplication_spark.sources.text_source import build_quads
+
+    # keys always have 5 '::' fields (fewer diverges deliberately: the
+    # reference AIOOBEs the whole doc, we keep the statement -- documented)
+    key = "::".join(key_parts)
+    nt = ".\n".join(lines)
+    df = spark.createDataFrame([(key, nt)], "key string, nt string")
+    got = df.select(
+        build_quads(F.col("key"), F.col("nt")).alias("q")
+    ).collect()[0]["q"]
+    assert list(got) == _java_set_statements(key, nt)
