@@ -180,6 +180,19 @@ def q_doc_fingerprints(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_substring_pairs_md5(spark, sf_dir) -> DataFrame:
+    """Substring-duplicate pass (window fingerprints -> banded_self_join ->
+    set-containment verify) with the md5-32 hash family so DuckDB can
+    replay the whole query: candidates = docs sharing a verbatim 8-token
+    window, score = containment over distinct token-hash sets."""
+    from microdeduplication_spark.config import DedupConfig
+    from microdeduplication_spark.operators.substring import (
+        substring_pairs_md5_family,
+    )
+
+    return substring_pairs_md5_family(_docs(spark, sf_dir), DedupConfig())
+
+
 def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     """SimHash pairs within Hamming distance 3 (rows-only: seeded bit mixing).
     The banding/Hamming machinery itself is oracle-checked by the md5-family
@@ -716,6 +729,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
         "simhash_hamming_pairs_md5": q_simhash_hamming_pairs_md5,
+        "substring_pairs_md5": q_substring_pairs_md5,
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
@@ -778,6 +792,42 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang
         """,
         "ngram_jaccard_pairs": _NGRAM_ORACLE,
+        # substring_pairs_md5: brute-force replay of the windowed-fingerprint
+        # substring pass (md5-32 family). Candidate = sharing any verbatim
+        # 8-token window; score = containment over distinct token-hash sets.
+        "substring_pairs_md5": """
+            WITH t AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents WHERE text IS NOT NULL
+            ), w AS (
+              SELECT doc_id,
+                     [('0x' || substr(md5(array_to_string(toks[i+1:i+8], ' ')),
+                                      1, 8))::BIGINT
+                      for i in range(0, greatest(len(toks) - 8, 0) + 1)] AS fps
+              FROM t
+            ), fp AS (
+              SELECT DISTINCT doc_id, f
+              FROM (SELECT doc_id, unnest(fps) AS f FROM w)
+            ), cand AS (
+              SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+              FROM fp a JOIN fp b ON a.f = b.f AND a.doc_id < b.doc_id
+            ), s AS (
+              SELECT doc_id,
+                     list_sort(list_distinct(
+                       [('0x' || substr(md5(x), 1, 8))::BIGINT for x in toks]
+                     )) AS ls
+              FROM t
+            )
+            SELECT c.a_id, c.b_id,
+                   round(len(list_intersect(sa.ls, sb.ls))::DOUBLE
+                         / least(len(sa.ls), len(sb.ls)), 6) AS score
+            FROM cand c
+            JOIN s sa ON sa.doc_id = c.a_id
+            JOIN s sb ON sb.doc_id = c.b_id
+            WHERE len(list_intersect(sa.ls, sb.ls))::DOUBLE
+                  / least(len(sa.ls), len(sb.ls)) >= 0.6
+        """,
         "doc_fingerprints": """
             WITH t AS (
               SELECT doc_id,

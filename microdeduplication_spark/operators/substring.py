@@ -99,3 +99,62 @@ def verify_containment(
         .where(F.col("score") >= F.lit(cfg.containment_threshold))
         .select("a_id", "b_id", "method", "score")
     )
+
+
+def substring_pairs_md5_family(
+    docs: DataFrame, cfg: DedupConfig,
+    id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Substring-duplicate pairs with an md5-32 hash family: the
+    DuckDB-reproducible twin of the production xxhash64 path (same trick as
+    simhash md5_simhash_signatures / textstats.rolling_fingerprint).
+
+    Granularity is word tokens (the documents fixture is single-line word
+    streams, so line windows would degenerate); the production pass uses
+    normalized lines, but the machinery under test -- banded_self_join's
+    bucket policy over shared window fingerprints and the set-containment
+    verify -- is the production code path, unchanged. Window fingerprint =
+    ('0x' || substr(md5(space-joined token window), 1, 8))::BIGint; element
+    hash for the containment sets = same md5-32 per token.
+
+    Output: (a_id, b_id, score) for containment >= cfg.containment_threshold
+    over distinct token-hash sets, among files sharing >= 1 verbatim
+    `cfg.substr_window`-token window.
+    """
+    md5_32 = lambda c: F.conv(  # noqa: E731
+        F.substring(F.md5(c), 1, 8), 16, 10
+    ).cast("long")
+
+    w = cfg.substr_window
+    lined = docs.where(F.col(text_col).isNotNull()).select(
+        F.col(id_col).alias("file_id"),
+        F.regexp_extract_all(
+            F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
+        ).alias("toks"),
+    )
+    n = F.size(F.col("toks"))
+    fps = (
+        lined.select(
+            "file_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - F.lit(w), F.lit(0))),
+                    lambda i: md5_32(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i + F.lit(1), w))
+                    ),
+                )
+            ).alias("band_hash"),
+        )
+        .distinct()
+        .withColumn("band_idx", F.lit(0))
+    )
+    cands = banded_self_join(fps, cfg, method="substring")
+    sets = lined.select(
+        "file_id",
+        F.array_sort(
+            F.array_distinct(F.transform(F.col("toks"), md5_32))
+        ).alias("line_set"),
+    )
+    return verify_containment(cands, sets, cfg).select(
+        "a_id", "b_id", F.round("score", 6).alias("score")
+    )
