@@ -115,9 +115,11 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "exact_dedup_clusters",
                 "simhash_hamming_pairs",
                 "snm_window_pairs",
+                "substring_pairs_md5",
                 "quality_scores",
                 "cosine_similar_pairs",
                 "srp_knn_top3",
+                "ivf_knn_top3",
                 "entity_routing",
                 "pricing_summary",
                 "revenue_by_mktsegment",
