@@ -151,6 +151,7 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
             "cpus": cpus,
             "deltas_vs_prev": deltas_vs_prev(timings),
             "queries_warm": warm,
+            "deltas_warm_vs_prev": deltas_vs_prev(warm, key="queries_warm"),
         }
         if collect_stages:
             import urllib.request
@@ -171,10 +172,14 @@ def run_profiled(sf_dir: str, cpus: int) -> dict:
     return run(sf_dir, cpus, skip_queries=True, collect_stages=True)
 
 
-def deltas_vs_prev(timings: dict[str, float]) -> dict:
+def deltas_vs_prev(timings: dict[str, float], key: str = "queries") -> dict:
     """Per-query regression report vs the newest BENCH_r{N}.json on disk:
     regressions get named in the bench output instead of being discovered
-    by the judge (single-box variance is ~+-20-30%; flag beyond that)."""
+    by the judge (single-box variance is ~+-20-30%; flag beyond that).
+
+    key="queries" compares cold timings; key="queries_warm" compares the
+    warm repeats -- warm-vs-warm is the low-noise signal (plan cost only),
+    so a warm regression is structural, not first-touch jitter."""
     import glob
     import re
 
@@ -190,7 +195,7 @@ def deltas_vs_prev(timings: dict[str, float]) -> dict:
         with open(prev_path) as f:
             doc = json.load(f)
         # the driver wraps the bench line under "parsed"
-        prev = doc.get("queries") or doc.get("parsed", {}).get("queries") or {}
+        prev = doc.get(key) or doc.get("parsed", {}).get(key) or {}
     except (OSError, json.JSONDecodeError):
         return {}
     out: dict[str, object] = {"prev": os.path.basename(prev_path)}

@@ -375,6 +375,8 @@ def ivf_train_centroids(
         .limit(sample_n)
         .collect()
     )
+    if not rows:
+        raise ValueError("cannot train IVF centroids on an empty corpus")
     m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0

@@ -120,6 +120,16 @@ def substring_pairs_md5_family(
     Output: (a_id, b_id, score) for containment >= cfg.containment_threshold
     over distinct token-hash sets, among files sharing >= 1 verbatim
     `cfg.substr_window`-token window.
+
+    The banded join runs with exact_hot=True: this twin's contract is the
+    COMPLETE pair set (its DuckDB oracle is exact all-pairs), so a window
+    fingerprint shared by more than cfg.lsh_bucket_cap files must take the
+    salted all-pairs path rather than the production star-pair/drop
+    hot-bucket policy (which would silently lose candidates vs the oracle
+    -- the same reason the simhash md5 twin passes exact_hot=True). The
+    production `substring_pairs` pass keeps the capped policy: at corpus
+    scale a window shared by thousands of files is boilerplate, and
+    star-pairing it preserves cluster connectivity at O(n) not O(n^2).
     """
     md5_32 = lambda c: F.conv(  # noqa: E731
         F.substring(F.md5(c), 1, 8), 16, 10
@@ -148,7 +158,7 @@ def substring_pairs_md5_family(
         .distinct()
         .withColumn("band_idx", F.lit(0))
     )
-    cands = banded_self_join(fps, cfg, method="substring")
+    cands = banded_self_join(fps, cfg, method="substring", exact_hot=True)
     sets = lined.select(
         "file_id",
         F.array_sort(

@@ -76,13 +76,16 @@ def _vcard_fix(key: Column, s: Column) -> Column:
       on a freshly split string, so the "blank out a null query field"
       branch can never fire; we reproduce the no-op by not implementing it.
     - length/contains guards short-circuit exactly as in Java.
+    - String.join("", keyParts) runs over ALL split parts with only index 4
+      (the datetime field) blanked -- a key containing '::' inside a later
+      field (> 5 parts) contributes those extra parts to the url verbatim.
     Deviation: a key with < 5 '::' fields would throw AIOOBE in the
     reference (aborting that extractor's whole document via the catch-all);
     here the statement is simply left unchanged."""
     kp = F.split(key, "::")
     url = F.concat_ws(
-        "", F.element_at(kp, 1), F.element_at(kp, 2),
-        F.element_at(kp, 3), F.element_at(kp, 4),
+        "",
+        F.transform(kp, lambda p, i: F.when(i == F.lit(4), F.lit("")).otherwise(p)),
     )
     subj = F.substring_index(s, " ", 1)
     fixable = (

@@ -139,20 +139,29 @@ def _java_set_statements(key: str, ntriples: str) -> list[str]:
 @given(
     st.lists(st.text(_NT_ALPHABET, min_size=1, max_size=80),
              min_size=1, max_size=12),
-    st.lists(st.text("abc0", min_size=1, max_size=8), min_size=5, max_size=5),
+    st.lists(st.text("abc0", min_size=1, max_size=8), min_size=5, max_size=8),
 )
 @example(
     # vcard blank node long enough to rewrite, CRLF-terminated
     ["_:node1234567890123456789vcard x ", "plain y "],
     ["https", "h", "p", "null", "20150101"],
 )
+@example(
+    # '::' inside the query field -> key splits into >5 parts; the
+    # reference's String.join("", keyParts) keeps the extra parts in the
+    # url (only index 4 is blanked) -- ADVICE r3 regression pin
+    ["_:node1234567890123456789vcard x "],
+    ["https", "h", "p", "q=a", "20150101", "tail1", "tail2"],
+)
 def test_build_quads_fuzz_vs_java(spark, lines, key_parts):
     from pyspark.sql import functions as F
 
     from microdeduplication_spark.sources.text_source import build_quads
 
-    # keys always have 5 '::' fields (fewer diverges deliberately: the
-    # reference AIOOBEs the whole doc, we keep the statement -- documented)
+    # keys have >= 5 '::' fields; > 5 models '::' inside the query field
+    # (String.join("", keyParts) keeps the extra parts, only index 4 is
+    # blanked). Fewer than 5 diverges deliberately: the reference AIOOBEs
+    # the whole doc, we keep the statement -- documented
     key = "::".join(key_parts)
     nt = ".\n".join(lines)
     df = spark.createDataFrame([(key, nt)], "key string, nt string")
