@@ -325,11 +325,20 @@ def srp_bucket_pairs(
     emb: DataFrame, dim: int, n_planes: int = 16, n_tables: int = 4,
     seed: int = 42, threshold: float = 0.9,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    exact_hot: bool = True,
 ) -> DataFrame:
     """ANN near-dup pairs: union of per-table SRP bucket joins + exact rescore.
 
     Each table uses an independent hyperplane set; candidates from any table
     are rescored with exact cosine and filtered at `threshold`.
+
+    This is a PAIR-LEVEL consumer, so the banded join defaults to
+    exact_hot=True (salted all-pairs for buckets past bucket_cap): the
+    output contract is the complete pair set, which is also what the
+    literal-hyperplane DuckDB oracle replays. Cluster-level consumers that
+    only need connectivity can pass exact_hot=False to keep hot buckets
+    linear (star pairs); buckets beyond cfg.bucket_drop are dropped in
+    both modes.
     """
     from microdeduplication_spark.config import DedupConfig
     from microdeduplication_spark.operators.minhash_lsh import banded_self_join
@@ -337,7 +346,9 @@ def srp_bucket_pairs(
     bands = srp_signature_table(
         emb, dim, n_planes, n_tables, seed, id_col, vec_col
     )
-    cands = banded_self_join(bands, DedupConfig(), method="srp")
+    cands = banded_self_join(
+        bands, DedupConfig(), method="srp", exact_hot=exact_hot
+    )
     a = emb.select(F.col(id_col).alias("a_id"), F.col(vec_col).alias("a_v"))
     b = emb.select(F.col(id_col).alias("b_id"), F.col(vec_col).alias("b_v"))
     return (
