@@ -43,12 +43,13 @@ Deliberate deviations (documented per SURVEY.md §4 "bugs to not reproduce"):
   still harvest provider/timestamp from a malformed line in rare orderings
   (the per-line catch at :125-127 skips the rest of the line only when the
   object extraction itself throws).
-- a block carrying BOTH Product and Offer type markers stores its OWN
-  fields as the pending map; the reference stores the post-inherit merged
-  locals (so a prior Product's fields can chain through such a block into
-  the next Offer). Chained inheritance through dual-type blocks is not
-  reproduced (the fuzz oracle in test_entity_routing_fuzz.py excludes the
-  case for the same reason).
+
+Chained inheritance through dual-type blocks IS reproduced (closing the
+round-3 deviation): a block carrying both Product and Offer markers
+consumes the pending map, merges it with its own fields, stores the MERGED
+locals as the new map, and emits nothing -- so a prior Product's fields
+chain through any run of dual blocks into the next Offer. See the chain
+fold in route_quad_blocks; the fuzz oracle generates dual blocks.
 
 Scale: the reference's cross-record state (Util.productMap) is only correct
 because blocks of one file land in one partition in file order. Here the
@@ -199,39 +200,67 @@ def route_quad_blocks(
         *[field_exprs[f].alias(f) for f in ROUTED_FIELDS],
     )
 
-    # Offer-inherits-Product: the pending product map is consumed by the
-    # first offer after it. An offer at pos i inherits from the nearest
-    # preceding product block p iff no offer block sits strictly between
-    # them (it would have consumed the map); a product-and-offer block
-    # consumes first, then stores its own map, so lo == lp still inherits.
-    w = (
+    # Offer-inherits-Product with CHAINING through dual-type blocks
+    # (ConvertionToEntities.java:80-94 + :130-143): a Product-only block
+    # overwrites the pending map with its own fields; an Offer-only block
+    # inherits the map and consumes it; a block carrying BOTH markers
+    # consumes the map, merges it with its own fields, stores the MERGED
+    # locals back as the new map, and emits nothing. The map reaching an
+    # offer is therefore a fold over a CHAIN: at most one Product anchor
+    # followed by consecutive dual blocks.
+    #
+    # Chain identification without iteration: among "event" blocks
+    # (is_product | is_offer), every non-dual event (Product-only or
+    # Offer-only) resets the chain -- a Product-only by overwriting the
+    # map, an Offer-only by consuming it. So for any block, the chain
+    # feeding it is exactly the dual blocks after the LAST preceding
+    # non-dual event ("anchor"), plus the anchor itself iff it is a
+    # Product-only block. All duals in a run share the offer's anchor, so
+    # one window + one groupBy + one equi-join materializes every chain --
+    # no per-row recursion, everything keyed by (part, anchor).
+    is_dual = F.col("is_product") & F.col("is_offer")
+    non_dual_event = (F.col("is_product") | F.col("is_offer")) & ~is_dual
+    wprev = (
         W.partitionBy("part")
         .orderBy("pos")
         .rowsBetween(W.unboundedPreceding, -1)
     )
-    lp = F.last(F.when(F.col("is_product"), F.col("pos")), ignorenulls=True).over(w)
-    lo = F.last(F.when(F.col("is_offer"), F.col("pos")), ignorenulls=True).over(w)
-    routed = routed.withColumn(
-        "src_pos",
-        F.when(
-            F.col("is_offer")
-            & lp.isNotNull()
-            & (lo.isNull() | (lo <= lp)),
-            lp,
-        ),
-    )
+    anchor = F.last(
+        F.when(non_dual_event, F.col("pos")), ignorenulls=True
+    ).over(wprev)
+    routed = routed.withColumn("anchor", F.coalesce(anchor, F.lit(-1)))
 
-    emitted = routed.where(~F.col("is_product"))
-    prod_src = routed.where(F.col("is_product")).select(
-        F.col("part").alias("p_part"),
-        F.col("pos").alias("p_pos"),
-        *[F.col(f).alias(f"p_{f}") for f in ROUTED_FIELDS],
+    # Unified chain-group key: a Product-only block anchors the chain at
+    # its OWN pos; dual blocks and the consuming offer carry their shared
+    # anchor -- so every chain (contributors AND consumer) lands in ONE
+    # window partition (part, grp), and the fold becomes two more window
+    # functions per field instead of a groupBy + self-join (no plan fork:
+    # a fork would re-execute the block split + HOF extraction per branch,
+    # and a checkpoint barrier measured slower than the window).
+    grp = F.when(
+        F.col("is_product") & ~F.col("is_offer"), F.col("pos")
+    ).otherwise(F.col("anchor"))
+    wchain = (
+        W.partitionBy("part", grp)
+        .orderBy("pos")
+        .rowsBetween(W.unboundedPreceding, -1)
     )
-    j = emitted.join(
-        prod_src,
-        (F.col("part") == F.col("p_part")) & (F.col("src_pos") == F.col("p_pos")),
-        "left",
-    )
+    # fold over PRECEDING map-writing blocks of the chain: first-wins
+    # fields resolve to the EARLIEST block that assigned them (later
+    # merges only fill empties), last-wins to the LATEST (unconditional
+    # reassignment). Only offers consume the pending map; typeless blocks
+    # emit their own fields untouched.
+    contrib = lambda f: F.when(F.col("is_product"), F.col(f))  # noqa: E731
+    inherited = [
+        F.when(
+            F.col("is_offer"),
+            (F.first if f not in _LAST_WINS else F.last)(
+                contrib(f), ignorenulls=True
+            ).over(wchain),
+        ).alias(f"p_{f}")
+        for f in ROUTED_FIELDS
+    ]
+    j = routed.select("*", *inherited).where(~F.col("is_product"))
 
     def merged(f: str) -> Column:
         inh, own = F.col(f"p_{f}"), F.col(f)

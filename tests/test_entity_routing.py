@@ -122,3 +122,51 @@ def test_as_product_lines_roundtrip(spark):
     assert parsed[2]["name"] == "Red Bike"
     assert parsed[2]["price"] == pytest.approx(9.99)  # comma-coerced
     assert parsed[3]["currency"] == "USD"
+
+
+def test_dual_type_block_chains_inheritance(spark):
+    """A block with BOTH type markers consumes the pending map, stores its
+    post-inherit merge, and emits nothing -- so Product fields chain
+    through it into the next Offer (ConvertionToEntities.java:80-94 +
+    :130-143; round-3 deviation closed)."""
+    rows = [
+        # pos 1: Product (name + sku) -> pending map
+        (0, 1, "\n".join([
+            P,
+            "<http://s.ee::shop.ee::20160101::q>, <n>, "
+            "<http://schema.org/Product/name>, <Chained Bike>",
+            "<k>, <n>, <http://schema.org/Product/sku>, <sku1>",
+        ])),
+        # pos 2: dual block -- consumes the map, merges its own price +
+        # sku (last-wins: own sku2 overrides inherited sku1), emits NOTHING
+        (0, 2, "\n".join([
+            P, O,
+            "<http://d.ee::dual.ee::20170101::q>, <n>, "
+            "<http://schema.org/Offer/price>, <5,55>",
+            "<k>, <n>, <http://schema.org/Product/sku>, <sku2>",
+        ])),
+        # pos 3: Offer inherits the MERGED map (name from pos 1 through the
+        # chain, price+sku from pos 2); own description is its own
+        (0, 3, "\n".join([
+            O,
+            "<k>, <n>, <http://schema.org/Offer/description>, <fresh>",
+        ])),
+        # pos 4: second Offer -- map was consumed at pos 3, nothing inherits
+        (0, 4, "\n".join([
+            O,
+            "<k>, <n>, <http://schema.org/Offer/price>, <7,77>",
+        ])),
+    ]
+    df = spark.createDataFrame(rows, ["part", "pos", "block"])
+    out = {r["id"]: r for r in route_quad_blocks(df).collect()}
+    assert sorted(out) == [3, 4]  # product and dual blocks emit nothing
+    o3 = out[3]
+    assert o3["name"] == "Chained Bike"      # chained through the dual block
+    assert o3["price"] == "5,55"             # assigned inside the chain
+    assert o3["sku"] == "sku2"               # dual's last-wins beat sku1
+    assert o3["description"] == "fresh"      # offer's own field intact
+    assert o3["provider"] == "http://s.eeshop.ee"  # earliest harvest wins
+    assert o3["time_stamp"] == "20160101"
+    o4 = out[4]
+    assert o4["name"] == "" and o4["sku"] == ""    # single consumption
+    assert o4["price"] == "7,77"

@@ -5,9 +5,12 @@ over ~200 generated blocks in multiple part scopes.
 The oracle mirrors the JAVA else-if chain line by line (not the Spark code),
 under the engine's documented deviations (entity_routing module docstring):
 well-formed lines only, image inherited from image (not the :85 sku bug),
-deterministic ids. Blocks that carry BOTH type markers are not generated --
-the engine stores a product-and-offer block's own fields rather than its
-post-inherit merge (documented deviation).
+deterministic ids. Dual-type blocks (both Product and Offer markers) ARE
+generated: they consume the pending map, store their post-inherit merge,
+and emit nothing -- a prior Product's fields chain through them into the
+next Offer (the round-3 deviation, now closed). Typeless blocks (predicate
+lines only, no `<...org/Product>` / `<...org/Offer>` type line) are
+generated too: they emit without touching the map.
 """
 
 from __future__ import annotations
@@ -51,12 +54,16 @@ def _gen_blocks(rng, n_parts=6, blocks_per_part=30):
     rows = []
     for part in range(n_parts):
         for pos in range(blocks_per_part):
-            is_product = bool(rng.integers(0, 2))
-            lines = [
-                "<http://schema.org/Product>"
-                if is_product
-                else "<http://schema.org/Offer>"
-            ]
+            kind = int(rng.integers(0, 8))  # 0-2 P, 3-5 O, 6 dual, 7 typeless
+            if kind <= 2:
+                lines = ["<http://schema.org/Product>"]
+            elif kind <= 5:
+                lines = ["<http://schema.org/Offer>"]
+            elif kind == 6:
+                lines = ["<http://schema.org/Product>",
+                         "<http://schema.org/Offer>"]
+            else:
+                lines = []  # typeless: predicate lines only
             for _ in range(int(rng.integers(0, 6))):
                 key = KEYS[int(rng.integers(0, len(KEYS)))]
                 pred = PREDICATES[int(rng.integers(0, len(PREDICATES)))]
@@ -155,7 +162,9 @@ def _oracle(rows):
                                 merged[f] = pending[f]
                 pending = None
             if is_product:
-                pending = own
+                # the reference stores the POST-INHERIT merged locals: a
+                # dual-type block chains the consumed map into the next map
+                pending = merged
             else:
                 out[(part, pos)] = {
                     f: _clear(merged[f] or "") for f in ROUTED_FIELDS
