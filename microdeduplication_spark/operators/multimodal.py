@@ -108,37 +108,75 @@ def decode_png(payload: bytes) -> np.ndarray:
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
-    prev = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        row = np.frombuffer(
-            raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)], dtype=np.uint8
-        ).copy()
-        ftype = raw[y * (stride + 1)]
-        if ftype == 0:
-            line = row
-        elif ftype == 2:  # up
-            line = row + prev
-        elif ftype in (1, 3, 4):  # sub / average / paeth need left scan
-            line = row
-            for x in range(stride):
-                left = int(line[x - ch]) if x >= ch else 0
-                up = int(prev[x])
-                if ftype == 1:
-                    pred = left
-                elif ftype == 3:
-                    pred = (left + up) // 2
-                else:
-                    ul = int(prev[x - ch]) if x >= ch else 0
-                    p = left + up - ul
-                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
-                    pred = left if (pa <= pb and pa <= pc) else (up if pb <= pc else ul)
-                line[x] = (int(line[x]) + pred) & 0xFF
-        else:
-            raise ValueError(f"PNG filter type {ftype}")
-        out[y] = line
-        prev = out[y]
-    return out.reshape(h, w, ch)
+    return _unfilter_scanlines(raw, h, stride, ch).reshape(h, w, ch)
+
+
+def _unfilter_scanlines(raw: bytes, h: int, stride: int, ch: int) -> np.ndarray:
+    """Vectorized PNG scanline unfilter (no per-pixel Python loop).
+
+    None/Up rows are whole-row numpy adds; Sub rows are a per-channel-lane
+    cumsum (the recurrence l[x] = r[x] + l[x-ch] mod 256 is exactly a
+    grouped prefix sum). Average/Paeth rows carry a genuine left-pixel
+    recurrence, so images containing them decode on an ANTI-DIAGONAL
+    WAVEFRONT: every sample (y, x) depends only on (y, x-ch), (y-1, x),
+    (y-1, x-ch), all of which have strictly smaller d = x + ch*y -- so all
+    samples sharing a diagonal d are independent and update as one numpy
+    gather/compute/scatter. O(w*ch + h) vector steps instead of O(h*w*ch)
+    Python iterations: a 1-megapixel RGBA image is ~8k small numpy ops
+    (measured well under a second; the old inner loop was ~4e6 Python
+    iterations)."""
+    rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    f = rows[:, 0]
+    if np.any(f > 4):
+        raise ValueError(f"PNG filter type {int(f[f > 4][0])}")
+    r = rows[:, 1:].astype(np.int32)
+
+    if not np.any(f >= 3):
+        # fast path: no left+up recurrences -- one vector op per row
+        out = np.zeros((h, stride), dtype=np.uint8)
+        prev = np.zeros(stride, dtype=np.int32)
+        for y in range(h):
+            if f[y] == 0:
+                line = r[y]
+            elif f[y] == 2:  # up
+                line = r[y] + prev
+            else:  # sub: grouped per-channel prefix sum mod 256
+                line = np.cumsum(
+                    r[y].reshape(-1, ch), axis=0, dtype=np.int64
+                ).reshape(-1)
+            out[y] = line & 0xFF
+            prev = out[y].astype(np.int32)
+        return out
+
+    # pixel-level wavefront: the left-dependence distance is one PIXEL, so
+    # diagonals d = x_pixel + y hold mutually independent pixels and the
+    # ch channels ride along as vector lanes -- w + h - 1 steps total
+    w = stride // ch
+    r3 = r.reshape(h, w, ch)
+    out = np.zeros((h, w, ch), dtype=np.int32)
+    fcol = f.astype(np.int32)
+    for d in range(w + h - 1):
+        ylo = max(0, d - w + 1)
+        yhi = min(h - 1, d)
+        yy = np.arange(ylo, yhi + 1)
+        xx = d - yy
+        # negative fancy indices wrap harmlessly -- np.where masks them out
+        left = np.where((xx >= 1)[:, None], out[yy, xx - 1], 0)
+        up = np.where((yy > 0)[:, None], out[yy - 1, xx], 0)
+        ul = np.where(((yy > 0) & (xx >= 1))[:, None], out[yy - 1, xx - 1], 0)
+        ff = fcol[yy][:, None]
+        p = left + up - ul
+        pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+        paeth = np.where(
+            (pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul)
+        )
+        pred = np.select(
+            [ff == 1, ff == 2, ff == 3, ff == 4],
+            [left, up, (left + up) >> 1, paeth],
+            default=0,
+        )
+        out[yy, xx] = (r3[yy, xx] + pred) & 0xFF
+    return out.reshape(h, stride).astype(np.uint8)
 
 
 def wav_features(payload: bytes, dim: int) -> np.ndarray:
