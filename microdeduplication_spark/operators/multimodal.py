@@ -8,13 +8,17 @@ Decode kernels, by format:
 - **WAV (audio/wav)**: REAL decode via stdlib `wave` -- PCM to float mono,
   features = header stats + per-segment RMS energy + zero-crossing rate.
 - **PNG (image/png)**: REAL decode via stdlib `zlib` -- chunk walk, IDAT
-  inflate, scanline unfilter (types 0-4 incl. Paeth), features = geometry +
-  per-channel mean/std + 16-bin luma histogram. 8-bit, non-interlaced.
-- everything else (JPEG, MP4, ...): codecs are NOT in this container;
-  `deterministic_fake=True` (default in tests) produces seeded pseudo-
-  features from the payload bytes, `deterministic_fake=False` raises
-  NotImplementedError at evaluation time for those mimes only -- marking
-  exactly where a libjpeg/ffmpeg kernel plugs in.
+  inflate, vectorized scanline unfilter (types 0-4 incl. Paeth, diagonal
+  wavefront), features = geometry + per-channel mean/std + 16-bin luma
+  histogram. 8-bit, non-interlaced.
+- **JPEG (image/jpeg)**: REAL decode via `functions/jpeg.py` -- baseline
+  sequential DCT: marker parse, canonical huffman entropy decode,
+  dequantize, batched numpy IDCT, chroma upsample, YCbCr->RGB. Same
+  feature recipe as PNG.
+- video (MP4, ...): no ffmpeg in this container; `deterministic_fake=True`
+  (default in tests) produces seeded pseudo-features from the payload
+  bytes, `deterministic_fake=False` raises NotImplementedError for those
+  mimes only -- marking exactly where an ffmpeg kernel plugs in.
 
 Scale notes: payloads never pass through Python row-at-a-time; mapInPandas
 streams Arrow batches, and the output drops the binary column as early as
@@ -201,9 +205,7 @@ def wav_features(payload: bytes, dim: int) -> np.ndarray:
     return np.concatenate([head, seg_rms])[:dim].astype(np.float32)
 
 
-def png_features(payload: bytes, dim: int) -> np.ndarray:
-    """Geometry + per-channel mean/std + 16-bin luma histogram."""
-    img = decode_png(payload)
+def _image_features(img: np.ndarray, dim: int) -> np.ndarray:
     h, w, ch = img.shape
     flat = img.reshape(-1, ch).astype(np.float64)
     means = flat.mean(axis=0) / 255.0
@@ -218,7 +220,24 @@ def png_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
-_REAL_KERNELS = {"audio/wav": wav_features, "image/png": png_features}
+def png_features(payload: bytes, dim: int) -> np.ndarray:
+    """Geometry + per-channel mean/std + 16-bin luma histogram."""
+    return _image_features(decode_png(payload), dim)
+
+
+def jpeg_features(payload: bytes, dim: int) -> np.ndarray:
+    """Same feature recipe over the baseline-JPEG decode kernel
+    (functions/jpeg.py: pure stdlib+numpy huffman -> dequant -> IDCT)."""
+    from microdeduplication_spark.functions.jpeg import decode_jpeg
+
+    return _image_features(decode_jpeg(payload), dim)
+
+
+_REAL_KERNELS = {
+    "audio/wav": wav_features,
+    "image/png": png_features,
+    "image/jpeg": jpeg_features,
+}
 
 
 def extract_features(
@@ -228,11 +247,12 @@ def extract_features(
 
     deterministic_fake=True: seeded pseudo-features for every row (test
     reproducibility -- synthetic payloads are not valid media).
-    deterministic_fake=False: REAL decode for WAV (stdlib wave) and PNG
-    (stdlib zlib + unfilter); mimes without an in-container codec (JPEG,
-    MP4, ...) raise NotImplementedError at the exact plug-in point for a
-    libjpeg/ffmpeg kernel. The Spark contract -- Arrow batch in, Arrow
-    batch out, binary column dropped on output -- is identical either way.
+    deterministic_fake=False: REAL decode for WAV (stdlib wave), PNG
+    (stdlib zlib + unfilter) and baseline JPEG (functions/jpeg.py); mimes
+    without an in-container codec (video) raise NotImplementedError at
+    the exact plug-in point for an ffmpeg kernel. The Spark contract --
+    Arrow batch in, Arrow batch out, binary column dropped on output --
+    is identical either way.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -247,7 +267,7 @@ def extract_features(
                 else:
                     raise NotImplementedError(
                         f"no in-container codec for {mime}; plug a real "
-                        "decode kernel here (wav/png are implemented)"
+                        "decode kernel here (wav/png/jpeg are implemented)"
                     )
             yield pd.DataFrame(
                 {
