@@ -689,16 +689,20 @@ def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
 
 
 def q_media_features(spark, sf_dir) -> DataFrame:
-    """Multimodal plumbing (rows-only): synth media -> mapInPandas features."""
+    """Multimodal feature extraction (rows-only): deterministic media table
+    with VALID PNG/WAV payloads through the REAL decode kernels (stdlib
+    zlib unfilter / wave; functions/jpeg.py covers image/jpeg in pytest);
+    video rows take the seeded-fake fallback -- the one honest stub left
+    (no ffmpeg in container)."""
     from microdeduplication_spark.operators.multimodal import (
         extract_features,
         synth_media,
     )
 
-    media = synth_media(spark, n=48, seed=42)
-    return extract_features(media, dim=16).select(
-        "media_id", "kind", "feat_dim", "payload_sha256"
-    )
+    media = synth_media(spark, n=48, seed=42, real_payloads=True)
+    return extract_features(
+        media, dim=16, deterministic_fake=False, fallback_fake=True
+    ).select("media_id", "kind", "feat_dim", "payload_sha256")
 
 
 # ---------------------------------------------------------------------------

@@ -241,7 +241,8 @@ _REAL_KERNELS = {
 
 
 def extract_features(
-    media: DataFrame, dim: int = 64, deterministic_fake: bool = True
+    media: DataFrame, dim: int = 64, deterministic_fake: bool = True,
+    fallback_fake: bool = False,
 ) -> DataFrame:
     """binary payload -> fixed-dim feature vector via Arrow mapInPandas.
 
@@ -250,9 +251,12 @@ def extract_features(
     deterministic_fake=False: REAL decode for WAV (stdlib wave), PNG
     (stdlib zlib + unfilter) and baseline JPEG (functions/jpeg.py); mimes
     without an in-container codec (video) raise NotImplementedError at
-    the exact plug-in point for an ffmpeg kernel. The Spark contract --
+    the exact plug-in point for an ffmpeg kernel -- unless
+    fallback_fake=True, which substitutes the seeded pseudo-features for
+    exactly those mimes (so a mixed-mime table can flow end-to-end while
+    the video kernel slot stays honestly stubbed). The Spark contract --
     Arrow batch in, Arrow batch out, binary column dropped on output --
-    is identical either way.
+    is identical in every mode.
     """
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -264,6 +268,8 @@ def extract_features(
                     feats.append(_fake_features(p, dim))
                 elif mime in _REAL_KERNELS:
                     feats.append(_REAL_KERNELS[mime](bytes(p), dim))
+                elif fallback_fake:
+                    feats.append(_fake_features(p, dim))
                 else:
                     raise NotImplementedError(
                         f"no in-container codec for {mime}; plug a real "
@@ -317,16 +323,73 @@ def media_exact_dedup(media: DataFrame) -> DataFrame:
     )
 
 
-def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table for tests (no codecs needed)."""
+def encode_png(img: np.ndarray) -> bytes:
+    """(H, W, C) uint8 -> minimal valid PNG (filter 0, one IDAT)."""
+    h, w, ch = img.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data))
+        )
+
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """float samples in [-1, 1] -> PCM16 mono WAV (stdlib wave)."""
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(rate)
+        wv.writeframes(
+            (np.clip(samples, -1, 1) * 32767).astype("<i2").tobytes()
+        )
+    return buf.getvalue()
+
+
+def synth_media(
+    spark, n: int = 64, seed: int = 42, real_payloads: bool = False
+) -> DataFrame:
+    """Deterministic media table for tests and the driver query.
+
+    real_payloads=False: opaque pseudo-random bytes (schema/plumbing only).
+    real_payloads=True: image rows carry VALID PNG bytes and audio rows
+    VALID WAV bytes (deterministically generated, decodable by the real
+    kernels); video rows stay opaque -- the honest ffmpeg stub.
+    """
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
-        payload = rng.bytes(64 + int(rng.integers(0, 192)))
+        if real_payloads and kind == "image":
+            img = rng.integers(
+                0, 256, size=(int(rng.integers(4, 12)),
+                              int(rng.integers(4, 12)), 3), dtype=np.uint8
+            )
+            payload = encode_png(img)
+        elif real_payloads and kind == "audio":
+            t = np.arange(int(rng.integers(200, 2000))) / 8000.0
+            payload = encode_wav(
+                np.sin(2 * np.pi * float(rng.integers(100, 2000)) * t)
+            )
+        else:
+            payload = rng.bytes(64 + int(rng.integers(0, 192)))
         if i % 7 == 0 and rows:  # planted exact duplicate payloads
-            payload = rows[-1][-1]
+            # real mode duplicates within the same kind (rows[-3] has the
+            # same mime, so the copied payload stays decodable); fake mode
+            # keeps the original cross-kind copy (byte-level dedup only)
+            payload = rows[-3][-1] if real_payloads and len(rows) >= 3 \
+                else rows[-1][-1]
         rows.append(
             (
                 i,

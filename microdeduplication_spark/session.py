@@ -13,6 +13,14 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _java_opts() -> str:
+    opts = ["-XX:+UseParallelGC"]
+    gc_threads = os.environ.get("SPARK_GC_THREADS")
+    if gc_threads:
+        opts.append(f"-XX:ParallelGCThreads={int(gc_threads)}")
+    return " ".join(opts)
+
+
 def build_session(
     app_name: str = "microdeduplication-spark",
     cores: int | None = None,
@@ -63,10 +71,20 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         # batch-throughput GC: ParallelGC cut measured total CPU by ~20% vs
-        # the G1 default on the dedup pipeline (one shared heap in local mode)
-        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
-        .config("spark.executor.extraJavaOptions", "-XX:+UseParallelGC")
+        # the G1 default on the dedup pipeline (one shared heap in local
+        # mode). SPARK_GC_THREADS pins -XX:ParallelGCThreads -- the scaling
+        # bench sizes it to each leg's CPU budget (a taskset-pinned JVM may
+        # otherwise size GC workers from the full host core count).
+        .config("spark.driver.extraJavaOptions", _java_opts())
+        .config("spark.executor.extraJavaOptions", _java_opts())
         .config("spark.executor.memory", f"{executor_mem_mb}m")
+        # SPARK_OFFHEAP_MB > 0 moves execution/shuffle buffers off-heap
+        # (Tungsten unsafe): less allocation pressure on the shared heap --
+        # one of the scaling-bench falsification knobs.
+        .config("spark.memory.offHeap.enabled",
+                "true" if int(os.environ.get("SPARK_OFFHEAP_MB", "0")) else "false")
+        .config("spark.memory.offHeap.size",
+                f"{int(os.environ.get('SPARK_OFFHEAP_MB', '0')) or 1}m")
         # single-host shuffle goes through the page cache; lz4 is pure CPU
         # overhead here. A network-shuffling cluster keeps compression ON --
         # this module is explicitly the local stand-in (see docstring).

@@ -848,3 +848,48 @@ def test_jpeg_420_subsampled_roundtrip():
     assert np.max(np.abs(luma(got) - luma(rgb))) <= 6
     # chroma within the subsampling smoothing bound for this gradient
     assert np.mean(np.abs(got.astype(int) - rgb.astype(int))) <= 8
+
+
+def test_synth_media_real_payloads_through_real_kernels(spark):
+    """synth_media(real_payloads=True) emits VALID PNG/WAV bytes; the
+    driver's media_features query now runs the REAL decode kernels with
+    the seeded fallback only for video (the honest ffmpeg stub)."""
+    from microdeduplication_spark.operators.multimodal import (
+        _fake_features,
+        decode_png,
+        decode_wav,
+        extract_features,
+        synth_media,
+        wav_features,
+    )
+
+    media = synth_media(spark, n=12, seed=42, real_payloads=True)
+    rows = {r["media_id"]: r for r in media.collect()}
+    # image rows decode as PNG, audio rows as WAV
+    img = decode_png(bytes(rows[0]["payload"]))
+    assert img.ndim == 3 and img.shape[2] == 3
+    x, rate = decode_wav(bytes(rows[1]["payload"]))
+    assert rate == 8000 and len(x) > 0
+
+    feats = {
+        r["media_id"]: r
+        for r in extract_features(
+            media, dim=16, deterministic_fake=False, fallback_fake=True
+        ).collect()
+    }
+    assert set(feats) == set(rows)
+    # audio features equal the direct kernel output
+    np.testing.assert_allclose(
+        np.array(feats[1]["features"], dtype=np.float32),
+        wav_features(bytes(rows[1]["payload"]), 16), rtol=1e-6,
+    )
+    # video rows took the seeded fallback
+    np.testing.assert_allclose(
+        np.array(feats[2]["features"], dtype=np.float32),
+        _fake_features(bytes(rows[2]["payload"]), 16), rtol=1e-6,
+    )
+    # planted duplicate stays within kind and remains decodable
+    dup = synth_media(spark, n=9, seed=42, real_payloads=True).collect()
+    by_id = {r["media_id"]: bytes(r["payload"]) for r in dup}
+    assert by_id[7] == by_id[4]  # i%7==0 copies rows[-3] (same kind)
+    decode_wav(by_id[7])  # audio kind, still a valid WAV

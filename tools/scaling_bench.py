@@ -38,6 +38,19 @@ def _steal_sec() -> float:
         return 0.0
 
 
+def _cpu_sec() -> float:
+    """Cumulative host-wide busy CPU (user+nice+system, s). The legs run
+    on an otherwise-idle dedicated box, so per-leg deltas measure the
+    leg's whole process tree (JVM + python workers) -- RUSAGE_CHILDREN
+    misses the JVM, which py4j detaches rather than reaps."""
+    try:
+        with open("/proc/stat") as f:
+            u, n, s = f.readline().split()[1:4]
+            return (int(u) + int(n) + int(s)) / 100.0
+    except Exception:
+        return 0.0
+
+
 def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
     """One bench pipeline run in a fresh interpreter/JVM, pinned to `cpus`.
 
@@ -55,6 +68,23 @@ def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
     env = dict(os.environ)
     if execs:
         env["SPARK_GRAFT_EXECUTORS"] = str(execs)
+    # PER-LEG JVM SIZING (round-3 verdict ask #1): a real N-core executor
+    # node carries memory and GC workers proportional to N -- sharing one
+    # 8g/unpinned-GC config across the 2-leg and 8-leg conflates heap
+    # geometry with thread scaling. Defaults (overridable for knob
+    # falsification runs via SPARK_GRAFT_MB_PER_CORE / SPARK_GRAFT_GC_MODE
+    # / SPARK_GRAFT_OFFHEAP_PER_CORE):
+    #   heap  = mb_per_core * cpus   (same memory:core ratio at both legs)
+    #   GC    = ParallelGCThreads pinned to the leg's core budget
+    #   offheap (optional) = offheap_per_core * cpus
+    mb_per_core = int(os.environ.get("SPARK_GRAFT_MB_PER_CORE", "1024"))
+    if mb_per_core:
+        env["SPARK_DRIVER_MEMORY"] = f"{mb_per_core * cpus}m"
+    if os.environ.get("SPARK_GRAFT_GC_MODE", "pinned") == "pinned":
+        env["SPARK_GC_THREADS"] = str(cpus)
+    off_per_core = int(os.environ.get("SPARK_GRAFT_OFFHEAP_PER_CORE", "0"))
+    if off_per_core:
+        env["SPARK_OFFHEAP_MB"] = str(off_per_core * cpus)
     # Interference rejection: the box is a VM on shared infrastructure and
     # hypervisor steal bursts hit individual legs (observed: 60s+ of steal
     # inside one ~150s leg, halving its throughput). Steal is externally
@@ -74,6 +104,7 @@ def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
     attempts = []
     clean = 0
     for _ in range(max_tries):
+        c0 = _cpu_sec()
         t0 = time.monotonic()
         s0 = _steal_sec()
         p = subprocess.run(
@@ -86,6 +117,10 @@ def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
         out = json.loads(line[len("RESULT "):])
         out["total_wall_sec"] = round(time.monotonic() - t0, 1)
         out["steal_sec"] = round(_steal_sec() - s0, 1)
+        # total CPU burned during the leg (host-wide busy delta; the box is
+        # otherwise idle): the 8-way-vs-2-way CPU INFLATION term -- not
+        # just the throughput quotient -- becomes visible per row
+        out["cpu_sec"] = round(_cpu_sec() - c0, 1)
         attempts.append(out)
         if out["steal_sec"] <= STEAL_FRAC * out["total_wall_sec"]:
             clean += 1
@@ -94,6 +129,7 @@ def run_level(cpus: int, sf_dir: str, execs: int | None = None) -> dict:
     best = max(attempts, key=lambda a: a["value"])
     best["attempt_steals"] = [a["steal_sec"] for a in attempts]
     best["attempt_values"] = [a["value"] for a in attempts]
+    best["attempt_cpus"] = [a["cpu_sec"] for a in attempts]
     return best
 
 
@@ -130,6 +166,11 @@ def main() -> None:
         # hypervisor steal during each leg: non-trivial steal marks the row
         # as interference-degraded (shared-infrastructure VM)
         "steal_n_sec": lo["steal_sec"], "steal_4n_sec": hi["steal_sec"],
+        "cpu_n_sec": lo.get("cpu_sec"), "cpu_4n_sec": hi.get("cpu_sec"),
+        "cpu_inflation_4n_vs_n": (
+            round(hi["cpu_sec"] / lo["cpu_sec"] - 1, 3)
+            if lo.get("cpu_sec") and hi.get("cpu_sec") else None
+        ),
         "attempt_steals_n": lo.get("attempt_steals"),
         "attempt_steals_4n": hi.get("attempt_steals"),
         "attempt_values_n": lo.get("attempt_values"),
