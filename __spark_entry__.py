@@ -7,8 +7,14 @@ runs side-by-side at sf0.01. Column names/ordering are aligned pairwise;
 every computed column is aliased identically on both sides.
 
 Queries marked rows-only (absent from oracle_sql) are the genuinely
-non-SQL-expressible ones: MinHash/SimHash signatures (seeded hash families)
-and the multimodal feature stubs.
+non-SQL-expressible ones -- after round 4 only two remain:
+`simhash_hamming_pairs` (production xxhash64 bit-mixing family; its md5-32
+twin replays the identical banded probing end-to-end and IS oracle-green)
+and `media_features` (binary decode kernels; its feature math is pinned by
+round-trip pytest fixtures). Seeded-state queries are oracle-matched by
+embedding the state as SQL literals: SRP hyperplanes, and the IVF
+coarse quantizer re-trained outside Spark (exact Python xxhash64 +
+shared spherical_kmeans).
 """
 
 from __future__ import annotations
@@ -333,10 +339,13 @@ def q_srp_knn_top3(spark, sf_dir) -> DataFrame:
 
 def q_ivf_knn_top3(spark, sf_dir) -> DataFrame:
     """IVF-probed top-3 neighbors: the coarse-quantizer scale path for
-    knn_top3 (rows-only: spherical-k-means centroids are float-iteration
-    state DuckDB can't replay; recall vs brute force and the exact
-    nprobe=n_cells degradation are pytest-gated in
-    test_ivf_topk_recall_vs_bruteforce / test_ivf_respects_nprobe_...)."""
+    knn_top3. Oracle-matched (r4): the quantizer is deterministic, so the
+    oracle re-trains the identical centroids outside Spark (pyarrow +
+    exact-verified Python xxhash64 + the shared spherical_kmeans) and
+    embeds them as SQL literals -- see _ivf_knn_top3_oracle. Recall vs
+    brute force and the exact nprobe=n_cells degradation stay
+    pytest-gated in test_ivf_topk_recall_vs_bruteforce /
+    test_ivf_respects_nprobe_...)."""
     from microdeduplication_spark.operators.similarity_search import ivf_topk
 
     e = _emb(spark, sf_dir)
@@ -873,10 +882,82 @@ def _srp_knn_top3_oracle() -> str:
     """
 
 
+def _ivf_knn_top3_oracle() -> str:
+    """Replay of ivf_topk(e, q=vec_id<20, k=3, n_cells=16, nprobe=4,
+    sample_n=2048) in DuckDB. The coarse quantizer is DETERMINISTIC for a
+    given corpus (seeded spherical k-means on a sample ordered by
+    xxhash64(vec_id)), so the oracle trains the identical centroids
+    OUTSIDE Spark -- pyarrow scan + the tested-exact Python xxhash64_long
+    + the same spherical_kmeans routine -- and embeds them as DOUBLE[]
+    literals (the SRP literal-hyperplane trick extended to learned
+    state). Cell assignment/probing/rescoring/ranking are then replayed
+    independently in SQL: argmax (rank 1) / top-nprobe (rank <= 4) cells
+    by centroid dot (per-row positive normalization cannot change the
+    order), equi-join on cell, exact-cosine re-rank. The parquet path
+    matches the driver's sf0.01 compare corpus (override:
+    SPARK_GRAFT_ORACLE_SF_DIR)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from microdeduplication_spark.operators.similarity_search import (
+        spherical_kmeans,
+        xxhash64_long,
+    )
+
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    ids = t["vec_id"].to_numpy()
+    vecs = np.asarray(t["embedding"].to_pylist(), dtype=np.float64)
+    order = sorted(range(len(ids)), key=lambda i: (xxhash64_long(int(ids[i])), int(ids[i])))
+    m = vecs[order[:2048]]
+    cent = spherical_kmeans(m, n_cells=16, iters=8, seed=13)
+    rows = ",\n        ".join(
+        f"({c}, [{', '.join(repr(float(x)) for x in w)}]::DOUBLE[])"
+        for c, w in enumerate(cent)
+    )
+    return f"""
+    WITH cent(cell, w) AS (VALUES
+        {rows}),
+    sims AS (
+      SELECT e.vec_id, c.cell,
+             list_dot_product(e.embedding::DOUBLE[], c.w) AS sim
+      FROM embeddings e CROSS JOIN cent c),
+    ranked AS (
+      SELECT vec_id, cell,
+             row_number() OVER (
+               PARTITION BY vec_id ORDER BY sim DESC, cell) AS rk
+      FROM sims),
+    assigned AS (SELECT vec_id AS n_id, cell FROM ranked WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS q_id, cell FROM ranked
+      WHERE vec_id < 20 AND rk <= 4),
+    cands AS (
+      SELECT DISTINCT p.q_id, a.n_id
+      FROM probes p JOIN assigned a USING (cell)
+      WHERE p.q_id != a.n_id),
+    scored AS (
+      SELECT c.q_id, c.n_id,
+             row_number() OVER (
+               PARTITION BY c.q_id
+               ORDER BY {_COS} DESC, c.n_id) AS rank
+      FROM cands c
+      JOIN embeddings a ON a.vec_id = c.q_id
+      JOIN embeddings b ON b.vec_id = c.n_id)
+    SELECT q_id, n_id, rank FROM scored WHERE rank <= 3
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "srp_ann_pairs": _srp_ann_pairs_oracle(),
         "srp_knn_top3": _srp_knn_top3_oracle(),
+        "ivf_knn_top3": _ivf_knn_top3_oracle(),
         "exact_dedup_clusters": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id

@@ -389,6 +389,17 @@ def ivf_train_centroids(
     if not rows:
         raise ValueError("cannot train IVF centroids on an empty corpus")
     m = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    return spherical_kmeans(m, n_cells, iters, seed)
+
+
+def spherical_kmeans(
+    m: np.ndarray, n_cells: int, iters: int = 8, seed: int = 13
+) -> np.ndarray:
+    """Pure-numpy spherical k-means on a (n, dim) sample -> (n_cells, dim)
+    unit centroids. Deterministic for a given (sample, seed): seeded init
+    from sample rows, empty cells keep their previous centroid. Shared by
+    ivf_train_centroids (Spark-side sample) and the DuckDB oracle
+    generator (pyarrow-side replay of the same sample)."""
     norms = np.linalg.norm(m, axis=1)
     norms[norms == 0] = 1.0
     m = m / norms[:, None]
@@ -405,6 +416,30 @@ def ivf_train_centroids(
                 if n > 0:
                     cent[c] = mu / n
     return cent
+
+
+def xxhash64_long(value: int, seed: int = 42) -> int:
+    """Spark-compatible xxhash64 of ONE LongType value (XXH64.hashLong,
+    seed 42 = Catalyst's default). Used by the oracle generator to replay
+    ivf_train_centroids' deterministic sample selection outside Spark;
+    verified against F.xxhash64 in tests."""
+    mask = (1 << 64) - 1
+    p1, p2 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F
+    p3, p4, p5 = 0x165667B19E3779F9, 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & mask
+
+    inp = value & mask  # two's-complement little-endian 8 bytes
+    h = (seed + p5 + 8) & mask
+    h ^= rotl((inp * p2) & mask, 31) * p1 & mask
+    h = (rotl(h, 27) * p1 + p4) & mask
+    h ^= h >> 33
+    h = (h * p2) & mask
+    h ^= h >> 29
+    h = (h * p3) & mask
+    h ^= h >> 32
+    return h - (1 << 64) if h >= (1 << 63) else h  # back to signed long
 
 
 def _ivf_cells(

@@ -893,3 +893,25 @@ def test_synth_media_real_payloads_through_real_kernels(spark):
     by_id = {r["media_id"]: bytes(r["payload"]) for r in dup}
     assert by_id[7] == by_id[4]  # i%7==0 copies rows[-3] (same kind)
     decode_wav(by_id[7])  # audio kind, still a valid WAV
+
+
+def test_xxhash64_long_matches_spark(spark):
+    """The oracle generator's Python xxhash64 must equal Catalyst's
+    xxhash64 for LongType (seed 42) -- it replays ivf_train_centroids'
+    sample selection outside Spark."""
+    from pyspark.sql import functions as F
+
+    from microdeduplication_spark.operators.similarity_search import (
+        xxhash64_long,
+    )
+
+    vals = [0, 1, -1, 42, 499, 123456789, -987654321,
+            2**62, -(2**62), 2**63 - 1, -(2**63)]
+    got = {
+        r["v"]: r["h"]
+        for r in spark.createDataFrame([(v,) for v in vals], "v long")
+        .select("v", F.xxhash64("v").alias("h"))
+        .collect()
+    }
+    for v in vals:
+        assert xxhash64_long(v) == got[v], v
