@@ -6,15 +6,15 @@
 runs side-by-side at sf0.01. Column names/ordering are aligned pairwise;
 every computed column is aliased identically on both sides.
 
-Queries marked rows-only (absent from oracle_sql) are the genuinely
-non-SQL-expressible ones -- after round 4 only two remain:
-`simhash_hamming_pairs` (production xxhash64 bit-mixing family; its md5-32
-twin replays the identical banded probing end-to-end and IS oracle-green)
-and `media_features` (binary decode kernels; its feature math is pinned by
-round-trip pytest fixtures). Seeded-state queries are oracle-matched by
-embedding the state as SQL literals: SRP hyperplanes, and the IVF
-coarse quantizer re-trained outside Spark (exact Python xxhash64 +
-shared spherical_kmeans).
+After round 4 every query except `media_features` (binary decode
+kernels; feature math pinned by round-trip pytest fixtures) has an exact
+DuckDB oracle. Seeded / learned state is oracle-matched by embedding it
+as SQL literals, each replayed OUTSIDE Spark: SRP hyperplanes (seeded
+numpy), IVF centroids (pyarrow scan + exact-verified Python xxhash64 +
+shared spherical_kmeans), and production SimHash signatures (the same
+numpy kernels the Arrow UDF wraps, over normalize_py which is
+parity-pinned against the Column normalizer); the md5-32 SimHash twin
+additionally replays the banded probing machinery itself in SQL.
 """
 
 from __future__ import annotations
@@ -200,9 +200,14 @@ def q_substring_pairs_md5(spark, sf_dir) -> DataFrame:
 
 
 def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash pairs within Hamming distance 3 (rows-only: seeded bit mixing).
-    The banding/Hamming machinery itself is oracle-checked by the md5-family
-    twin below (q_simhash_hamming_pairs_md5)."""
+    """SimHash pairs within Hamming distance 3, PRODUCTION hash family.
+    Oracle-matched (r4): the seeded splitmix signatures are replayed
+    outside Spark by the same numpy kernels (normalize_py is
+    parity-tested against the Column normalizer) and embedded as SQL
+    literals; the config's pigeonhole guarantee (4 blocks, combo 1,
+    threshold 3) plus exact_hot=True makes the banded output equal brute
+    force, so the literal-signature brute-force SQL is exact. The md5
+    twin below additionally replays the probing machinery itself in SQL."""
     from microdeduplication_spark.operators import simhash as sh
 
     cfg = DOCS_CFG
@@ -213,7 +218,8 @@ def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     )
     shingled = minhash_lsh.add_shingles(d, cfg)
     sims = sh.simhash_signatures(shingled, cfg)
-    return sh.candidate_pairs(sims, cfg).select("a_id", "b_id")
+    # pair-level contract (complete pair set == the oracle's brute force)
+    return sh.candidate_pairs(sims, cfg, exact_hot=True).select("a_id", "b_id")
 
 
 def q_simhash_hamming_pairs_md5(spark, sf_dir) -> DataFrame:
@@ -953,8 +959,54 @@ def _ivf_knn_top3_oracle() -> str:
     """
 
 
+def _simhash_hamming_pairs_oracle() -> str:
+    """Production-family SimHash oracle: replay the signature kernels
+    OUTSIDE Spark (pyarrow scan -> normalize_py -> shingles_batch ->
+    simhash_batch, the very numpy code the Arrow UDF wraps; normalize_py
+    is parity-pinned against the Column normalizer in test_text) and
+    embed (doc_id, sim) as literals. Brute-force hamming <= 3 in SQL is
+    then exact: the production config's pigeonhole guarantee (tables=4,
+    combo=1, threshold=3 <= tables-combo) means every qualifying pair
+    shares a probe bucket, and exact_hot=True removes the hot-bucket cap
+    policy, so banded output == brute force."""
+    import os
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from microdeduplication_spark.functions.hashing import (
+        shingles_batch,
+        simhash_batch,
+    )
+    from microdeduplication_spark.functions.text import normalize_py
+
+    cfg = DOCS_CFG
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01"
+    )
+    t = pq.read_table(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    )
+    ids = t["doc_id"].to_pylist()
+    norm = pd.Series(
+        [None if x is None else normalize_py(x) for x in t["text"].to_pylist()]
+    )
+    sims = simhash_batch(shingles_batch(norm, cfg.shingle_k), cfg.simhash_bits)
+    rows = ",\n        ".join(
+        f"({int(i)}, {int(s)})" for i, s in zip(ids, sims)
+    )
+    return f"""
+    WITH sigs(doc_id, sim) AS (VALUES
+        {rows})
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim, b.sim)) <= {cfg.hamming_threshold}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "simhash_hamming_pairs": _simhash_hamming_pairs_oracle(),
         "srp_ann_pairs": _srp_ann_pairs_oracle(),
         "srp_knn_top3": _srp_knn_top3_oracle(),
         "ivf_knn_top3": _ivf_knn_top3_oracle(),
