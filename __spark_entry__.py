@@ -200,14 +200,14 @@ def q_substring_pairs_md5(spark, sf_dir) -> DataFrame:
 
 
 def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
-    """SimHash pairs within Hamming distance 3, PRODUCTION hash family.
-    Oracle-matched (r4): the seeded splitmix signatures are replayed
-    outside Spark by the same numpy kernels (normalize_py is
+    """SimHash pairs within Hamming distance 3, PRODUCTION hash family and
+    PRODUCTION bucket policy (the fast one-exchange CASE-fused banded
+    join). Oracle-matched (r4): the seeded splitmix signatures are
+    replayed outside Spark by the same numpy kernels (normalize_py is
     parity-tested against the Column normalizer) and embedded as SQL
-    literals; the config's pigeonhole guarantee (4 blocks, combo 1,
-    threshold 3) plus exact_hot=True makes the banded output equal brute
-    force, so the literal-signature brute-force SQL is exact. The md5
-    twin below additionally replays the probing machinery itself in SQL."""
+    literals, and the oracle replays the full candidate machinery --
+    per-block bucketing, bucket_drop cutoff, all-pairs vs star-pair cap
+    policy, Hamming verify -- in SQL over that literal table."""
     from microdeduplication_spark.operators import simhash as sh
 
     cfg = DOCS_CFG
@@ -218,8 +218,7 @@ def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
     )
     shingled = minhash_lsh.add_shingles(d, cfg)
     sims = sh.simhash_signatures(shingled, cfg)
-    # pair-level contract (complete pair set == the oracle's brute force)
-    return sh.candidate_pairs(sims, cfg, exact_hot=True).select("a_id", "b_id")
+    return sh.candidate_pairs(sims, cfg).select("a_id", "b_id")
 
 
 def q_simhash_hamming_pairs_md5(spark, sf_dir) -> DataFrame:
@@ -964,11 +963,13 @@ def _simhash_hamming_pairs_oracle() -> str:
     OUTSIDE Spark (pyarrow scan -> normalize_py -> shingles_batch ->
     simhash_batch, the very numpy code the Arrow UDF wraps; normalize_py
     is parity-pinned against the Column normalizer in test_text) and
-    embed (doc_id, sim) as literals. Brute-force hamming <= 3 in SQL is
-    then exact: the production config's pigeonhole guarantee (tables=4,
-    combo=1, threshold=3 <= tables-combo) means every qualifying pair
-    shares a probe bucket, and exact_hot=True removes the hot-bucket cap
-    policy, so banded output == brute force."""
+    embed (doc_id, sim) as literals, then replay the PRODUCTION candidate
+    machinery in SQL: per-block band buckets ((sim >> 16j) & 0xFFFF -- the
+    & mask makes arithmetic vs logical shift equivalent), the
+    bucket_drop cutoff, the bucket_cap all-pairs/star-pair policy (star
+    pairs anchor at the bucket's min doc_id, exactly the sorted-list head
+    the engine uses), distinct across bands, and the bit_count Hamming
+    verify."""
     import os
 
     import pandas as pd
@@ -995,12 +996,36 @@ def _simhash_hamming_pairs_oracle() -> str:
     rows = ",\n        ".join(
         f"({int(i)}, {int(s)})" for i, s in zip(ids, sims)
     )
+    bb = cfg.simhash_band_bits
+    mask = (1 << bb) - 1
     return f"""
     WITH sigs(doc_id, sim) AS (VALUES
-        {rows})
-    SELECT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.sim, b.sim)) <= {cfg.hamming_threshold}
+        {rows}),
+    bands AS (
+      SELECT doc_id, t.band_idx,
+             (sim >> ({bb} * t.band_idx)) & {mask} AS band_hash
+      FROM sigs CROSS JOIN range({cfg.simhash_tables}) AS t(band_idx)),
+    sized AS (
+      SELECT band_idx, band_hash, count(*) AS n, min(doc_id) AS mn
+      FROM bands GROUP BY band_idx, band_hash),
+    ok AS (
+      SELECT b.doc_id, b.band_idx, b.band_hash, z.n, z.mn
+      FROM bands b JOIN sized z USING (band_idx, band_hash)
+      WHERE z.n BETWEEN 2 AND {cfg.bucket_drop}),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM ok a JOIN ok b USING (band_idx, band_hash)
+      WHERE a.doc_id < b.doc_id AND a.n <= {cfg.bucket_cap}
+      UNION
+      SELECT DISTINCT least(o.mn, o.doc_id) AS a_id,
+                      greatest(o.mn, o.doc_id) AS b_id
+      FROM ok o
+      WHERE o.n > {cfg.bucket_cap} AND o.doc_id != o.mn)
+    SELECT c.a_id, c.b_id
+    FROM cands c
+    JOIN sigs sa ON sa.doc_id = c.a_id
+    JOIN sigs sb ON sb.doc_id = c.b_id
+    WHERE bit_count(xor(sa.sim, sb.sim)) <= {cfg.hamming_threshold}
     """
 
 
