@@ -71,17 +71,77 @@ def check_or_write_manifest(sink_dir: str, n_buckets: int) -> None:
                 "idempotence -- pass the pinned value (or a new sink_dir)"
             )
         return
+    if _live_bucket_dirs(sink_dir):
+        # bucketed data with no manifest: a legacy sink (pre-manifest) or a
+        # deleted manifest. Adopting the caller's n_buckets here would
+        # re-open exactly the wrong-bucketing duplicate-append hazard the
+        # manifest exists to prevent (ADVICE r4) -- refuse and make the
+        # operator assert the value explicitly.
+        raise ValueError(
+            f"sink {sink_dir} contains key_bucket=* data but no "
+            f"{MANIFEST_NAME}; refusing to adopt n_buckets={n_buckets} "
+            "blindly. If this value is the one the sink was written with, "
+            "run adopt_manifest(sink_dir, n_buckets) once to pin it."
+        )
     os.makedirs(sink_dir, exist_ok=True)
     with open(path, "w") as f:
         json.dump({"n_buckets": n_buckets}, f)
 
 
+def adopt_manifest(sink_dir: str, n_buckets: int) -> None:
+    """Explicitly pin n_buckets for a legacy (pre-manifest) sink. The caller
+    asserts this is the value the existing data was bucketed with; a wrong
+    value here silently breaks keyed idempotence, which is why
+    check_or_write_manifest refuses to do this implicitly."""
+    os.makedirs(sink_dir, exist_ok=True)
+    with open(_manifest_path(sink_dir), "w") as f:
+        json.dump({"n_buckets": n_buckets}, f)
+
+
+def _live_bucket_dirs(sink_dir: str) -> list[str]:
+    """Live key_bucket=N partition dirs -- excludes half-finished
+    .compact_tmp/.compact_old compaction state."""
+    return [
+        d
+        for d in glob.glob(os.path.join(sink_dir, "key_bucket=*"))
+        if not d.endswith((".compact_tmp", ".compact_old"))
+    ]
+
+
 def read_sink_buckets(spark: SparkSession, sink_dir: str, buckets: list[int]):
     """Sink rows from ONLY the given key buckets -- the filter lands as a
     partition filter on the hive-partitioned sink scan (untouched bucket
-    directories are never opened)."""
-    return spark.read.parquet(sink_dir).where(
-        F.col("key_bucket").isin([int(b) for b in buckets])
+    directories are never opened).
+
+    Listing the whole sink root would also sweep in any half-finished
+    key_bucket=N.compact_tmp/.compact_old compaction dirs (whose non-integer
+    partition values break key_bucket type inference and whose rows would
+    double-count); scoping the scan to the live partition dirs makes the
+    sink readable regardless of compaction state (ADVICE r4)."""
+    live = set(_live_bucket_dirs(sink_dir))
+    if not live:
+        raise FileNotFoundError(
+            f"sink {sink_dir} has no live key_bucket=* partitions"
+        )
+    paths = [
+        p
+        for b in sorted({int(b) for b in buckets})
+        if (p := os.path.join(sink_dir, f"key_bucket={b}")) in live
+    ]
+    if not paths:
+        # touched buckets have no data yet: empty frame, sink schema
+        any_live = sorted(live)[0]
+        return (
+            spark.read.option("basePath", sink_dir).parquet(any_live).limit(0)
+        )
+    # basePath keeps hive partition discovery (key_bucket column) while the
+    # explicit path list bounds the scan to exactly the touched buckets; the
+    # redundant isin() keeps the intent visible as a PartitionFilter in the
+    # plan (pinned by test) and guards the multi-bucket-dir edge
+    return (
+        spark.read.option("basePath", sink_dir)
+        .parquet(*paths)
+        .where(F.col("key_bucket").isin([int(b) for b in buckets]))
     )
 
 
@@ -103,6 +163,11 @@ def stream_ingest(
     n_buckets is pinned in the sink's manifest on first open; reopening an
     existing sink with a different value raises (see check_or_write_manifest).
     """
+    # roll any half-finished compaction forward/back BEFORE the first batch:
+    # a crash mid-compaction followed by a stream restart must not leave a
+    # bucket's rows hidden in .compact_old where the idempotence anti-join
+    # would miss them and re-append duplicates (ADVICE r4)
+    _recover_compaction(sink_dir)
     check_or_write_manifest(sink_dir, n_buckets)
 
     def _sink_batch(batch_df: DataFrame, epoch_id: int) -> None:
@@ -114,7 +179,7 @@ def stream_ingest(
             .withColumn("key_bucket", key_bucket(F.col("file_id"), n_buckets))
             .localCheckpoint(eager=True)  # read twice: touched set + write
         )
-        if glob.glob(os.path.join(sink_dir, "key_bucket=*")):
+        if _live_bucket_dirs(sink_dir):
             # keyed idempotence without a full-sink rescan: collect the
             # touched bucket ids (<= batch size, typically << n_buckets) and
             # anti-join against ONLY those partitions of the sink
