@@ -716,7 +716,37 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     media = synth_media(spark, n=48, seed=42, real_payloads=True)
     return extract_features(
         media, dim=16, deterministic_fake=False, fallback_fake=True
-    ).select("media_id", "kind", "feat_dim", "payload_sha256")
+    ).select("media_id", "kind", "feat_dim", "features", "payload_sha256")
+
+
+def _media_features_oracle() -> str:
+    """Literal-embedding oracle for q_media_features (VERDICT r4 ask #2):
+    the expected rows -- including the full feature vectors -- are computed
+    OUTSIDE Spark by the same numpy decode kernels over the same
+    deterministic synth_media payloads (multimodal.expected_feature_rows
+    shares the per-row dispatch with the mapInPandas operator), then
+    embedded as a VALUES table. Both sides carry bit-identical float32
+    values, so the comparison is exact, no tolerance needed."""
+    from microdeduplication_spark.operators.multimodal import (
+        expected_feature_rows,
+    )
+
+    rows = expected_feature_rows(n=48, seed=42, dim=16)
+    # ::DOUBLE[]::FLOAT[] (not ::FLOAT[] directly): DuckDB's decimal->FLOAT
+    # parser is not always correctly rounded (observed 1-ulp off), while
+    # decimal->DOUBLE->FLOAT is -- and every value here IS a float32, so the
+    # two-step conversion is exact
+    values = ",\n".join(
+        "({}, '{}', {}, [{}]::DOUBLE[]::FLOAT[], '{}')".format(
+            media_id, kind, dim,
+            ", ".join(repr(x) for x in feats), sha,
+        )
+        for media_id, kind, dim, feats, sha in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        "\n) AS t(media_id, kind, feat_dim, features, payload_sha256)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1035,6 +1065,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_ann_pairs": _srp_ann_pairs_oracle(),
         "srp_knn_top3": _srp_knn_top3_oracle(),
         "ivf_knn_top3": _ivf_knn_top3_oracle(),
+        "media_features": _media_features_oracle(),
         "exact_dedup_clusters": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id

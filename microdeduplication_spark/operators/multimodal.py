@@ -240,6 +240,26 @@ _REAL_KERNELS = {
 }
 
 
+def _dispatch_features(
+    payload, mime: str, dim: int, deterministic_fake: bool,
+    fallback_fake: bool,
+) -> np.ndarray:
+    """Single-row kernel dispatch, shared by the Spark mapInPandas operator
+    and the out-of-Spark oracle generator (expected_feature_rows) so the
+    two can never drift."""
+    p = bytes(payload) if payload is not None else b""
+    if deterministic_fake:
+        return _fake_features(p, dim)
+    if mime in _REAL_KERNELS:
+        return _REAL_KERNELS[mime](p, dim)
+    if fallback_fake:
+        return _fake_features(p, dim)
+    raise NotImplementedError(
+        f"no in-container codec for {mime}; plug a real "
+        "decode kernel here (wav/png/jpeg are implemented)"
+    )
+
+
 def extract_features(
     media: DataFrame, dim: int = 64, deterministic_fake: bool = True,
     fallback_fake: bool = False,
@@ -261,20 +281,12 @@ def extract_features(
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for p, mime in zip(pdf["payload"], pdf["mime"]):
-                p = p if p is not None else b""
-                if deterministic_fake:
-                    feats.append(_fake_features(p, dim))
-                elif mime in _REAL_KERNELS:
-                    feats.append(_REAL_KERNELS[mime](bytes(p), dim))
-                elif fallback_fake:
-                    feats.append(_fake_features(p, dim))
-                else:
-                    raise NotImplementedError(
-                        f"no in-container codec for {mime}; plug a real "
-                        "decode kernel here (wav/png/jpeg are implemented)"
-                    )
+            feats = [
+                _dispatch_features(
+                    p, mime, dim, deterministic_fake, fallback_fake
+                )
+                for p, mime in zip(pdf["payload"], pdf["mime"])
+            ]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -356,16 +368,12 @@ def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def synth_media(
-    spark, n: int = 64, seed: int = 42, real_payloads: bool = False
-) -> DataFrame:
-    """Deterministic media table for tests and the driver query.
-
-    real_payloads=False: opaque pseudo-random bytes (schema/plumbing only).
-    real_payloads=True: image rows carry VALID PNG bytes and audio rows
-    VALID WAV bytes (deterministically generated, decodable by the real
-    kernels); video rows stay opaque -- the honest ffmpeg stub.
-    """
+def synth_media_rows(
+    n: int = 64, seed: int = 42, real_payloads: bool = False
+) -> list[tuple]:
+    """Pure-Python (no Spark) deterministic media rows -- the single source
+    for both synth_media (Spark table) and expected_feature_rows (the
+    out-of-Spark oracle for the driver's media_features query)."""
     rng = np.random.default_rng(seed)
     kinds = ["image", "audio", "video"]
     rows = []
@@ -401,8 +409,46 @@ def synth_media(
                 payload,
             )
         )
+    return rows
+
+
+def synth_media(
+    spark, n: int = 64, seed: int = 42, real_payloads: bool = False
+) -> DataFrame:
+    """Deterministic media table for tests and the driver query.
+
+    real_payloads=False: opaque pseudo-random bytes (schema/plumbing only).
+    real_payloads=True: image rows carry VALID PNG bytes and audio rows
+    VALID WAV bytes (deterministically generated, decodable by the real
+    kernels); video rows stay opaque -- the honest ffmpeg stub.
+    """
     return spark.createDataFrame(
-        rows,
-        schema="media_id long, kind string, mime string, width int, height int, "
-        "duration_ms long, payload binary",
+        synth_media_rows(n, seed, real_payloads), schema=MEDIA_SCHEMA
     )
+
+
+def expected_feature_rows(
+    n: int, seed: int, dim: int, real_payloads: bool = True,
+    deterministic_fake: bool = False, fallback_fake: bool = True,
+) -> list[tuple]:
+    """The exact rows extract_features(synth_media(...)) must produce,
+    computed OUTSIDE Spark by the same kernel dispatch (_dispatch_features)
+    -- the literal-embedding oracle trick (VERDICT r4 ask #2). Returns
+    (media_id, kind, feat_dim, features[float32-as-float], payload_sha256)."""
+    out = []
+    for media_id, kind, mime, _w, _h, _d, payload in synth_media_rows(
+        n, seed, real_payloads
+    ):
+        feats = _dispatch_features(
+            payload, mime, dim, deterministic_fake, fallback_fake
+        )
+        out.append(
+            (
+                media_id,
+                kind,
+                dim,
+                [float(x) for x in np.asarray(feats, dtype=np.float32)],
+                hashlib.sha256(payload if payload is not None else b"").hexdigest(),
+            )
+        )
+    return out
