@@ -15,10 +15,13 @@ Decode kernels, by format:
   sequential DCT: marker parse, canonical huffman entropy decode,
   dequantize, batched numpy IDCT, chroma upsample, YCbCr->RGB. Same
   feature recipe as PNG.
-- video (MP4, ...): no ffmpeg in this container; `deterministic_fake=True`
-  (default in tests) produces seeded pseudo-features from the payload
-  bytes, `deterministic_fake=False` raises NotImplementedError for those
-  mimes only -- marking exactly where an ffmpeg kernel plugs in.
+- **MP4 (video/mp4)**: REAL *container* parse via stdlib struct
+  (functions/mp4.py: ISO-BMFF atom walk, moov/mvhd + trak/tkhd/mdhd/hdlr)
+  -- duration, track geometry, handler counts. FRAME decode needs ffmpeg
+  (absent in this container): that slot stays honestly stubbed; other
+  video mimes raise NotImplementedError at the exact plug-in point (or
+  take the seeded-fake fallback with fallback_fake=True, which also
+  absorbs malformed payloads instead of killing the task).
 
 Scale notes: payloads never pass through Python row-at-a-time; mapInPandas
 streams Arrow batches, and the output drops the binary column as early as
@@ -233,10 +236,50 @@ def jpeg_features(payload: bytes, dim: int) -> np.ndarray:
     return _image_features(decode_jpeg(payload), dim)
 
 
+def mp4_features(payload: bytes, dim: int) -> np.ndarray:
+    """CONTAINER-level video features via the pure-stdlib ISO-BMFF atom
+    walk (functions/mp4.py): real duration / track geometry / handler
+    counts -- no frame decode (that slot stays the honest ffmpeg stub;
+    see frame_sample_plan for the frame-timestamp planning half)."""
+    from microdeduplication_spark.functions.mp4 import parse_mp4
+
+    meta = parse_mp4(payload)
+    tracks = meta["tracks"]
+    vide = [t for t in tracks if t["handler"] == "vide"]
+    soun = [t for t in tracks if t["handler"] == "soun"]
+    w = max((t["width"] for t in vide), default=0.0)
+    h = max((t["height"] for t in vide), default=0.0)
+    head = [
+        meta["duration_s"] / 3600.0,
+        meta["timescale"] / 90000.0,
+        float(len(tracks)),
+        float(len(vide)),
+        float(len(soun)),
+        w / 4096.0,
+        h / 4096.0,
+        (w * h * meta["duration_s"]) / 1e9,  # pixel-seconds volume
+    ]
+    per_track = []
+    for t in tracks:
+        per_track.extend(
+            [
+                {"vide": 1.0, "soun": 2.0}.get(t["handler"], 0.0),
+                (t["media_duration"] / t["media_timescale"] / 3600.0)
+                if t["media_timescale"]
+                else 0.0,
+            ]
+        )
+    out = np.zeros(dim, dtype=np.float32)
+    feats = np.array(head + per_track)
+    out[: min(dim, len(feats))] = feats[:dim]
+    return out
+
+
 _REAL_KERNELS = {
     "audio/wav": wav_features,
     "image/png": png_features,
     "image/jpeg": jpeg_features,
+    "video/mp4": mp4_features,
 }
 
 
@@ -251,12 +294,21 @@ def _dispatch_features(
     if deterministic_fake:
         return _fake_features(p, dim)
     if mime in _REAL_KERNELS:
-        return _REAL_KERNELS[mime](p, dim)
+        try:
+            return _REAL_KERNELS[mime](p, dim)
+        except ValueError:
+            # malformed/corrupt payload: with fallback_fake the row gets
+            # seeded pseudo-features instead of killing the task -- the
+            # 100TB posture (one bad file must not fail the job); without
+            # it the codec-level ValueError propagates for tests/debugging
+            if fallback_fake:
+                return _fake_features(p, dim)
+            raise
     if fallback_fake:
         return _fake_features(p, dim)
     raise NotImplementedError(
-        f"no in-container codec for {mime}; plug a real "
-        "decode kernel here (wav/png/jpeg are implemented)"
+        f"no in-container codec for {mime}; plug a real decode kernel "
+        "here (wav/png/jpeg + mp4-container are implemented)"
     )
 
 
@@ -390,6 +442,15 @@ def synth_media_rows(
             payload = encode_wav(
                 np.sin(2 * np.pi * float(rng.integers(100, 2000)) * t)
             )
+        elif real_payloads and kind == "video":
+            from microdeduplication_spark.functions.mp4 import encode_mp4
+
+            payload = encode_mp4(
+                width=int(rng.integers(2, 240)) * 16,
+                height=int(rng.integers(2, 135)) * 16,
+                duration_ms=int(rng.integers(500, 120000)),
+                with_audio=bool(rng.integers(0, 2)),
+            )
         else:
             payload = rng.bytes(64 + int(rng.integers(0, 192)))
         if i % 7 == 0 and rows:  # planted exact duplicate payloads
@@ -418,9 +479,9 @@ def synth_media(
     """Deterministic media table for tests and the driver query.
 
     real_payloads=False: opaque pseudo-random bytes (schema/plumbing only).
-    real_payloads=True: image rows carry VALID PNG bytes and audio rows
-    VALID WAV bytes (deterministically generated, decodable by the real
-    kernels); video rows stay opaque -- the honest ffmpeg stub.
+    real_payloads=True: image rows carry VALID PNG bytes, audio rows VALID
+    WAV bytes, video rows VALID MP4 containers (deterministically
+    generated, decodable by the real kernels).
     """
     return spark.createDataFrame(
         synth_media_rows(n, seed, real_payloads), schema=MEDIA_SCHEMA
