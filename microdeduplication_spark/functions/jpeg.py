@@ -68,8 +68,12 @@ class _BitReader:
 
     def _fill(self) -> None:
         d = self.data
+        if self.pos >= len(d):
+            raise ValueError("truncated JPEG stream")
         b = d[self.pos]
         if b == 0xFF:
+            if self.pos + 1 >= len(d):
+                raise ValueError("truncated JPEG stream")
             nxt = d[self.pos + 1]
             if nxt == 0x00:
                 self.pos += 2
@@ -101,8 +105,12 @@ class _BitReader:
         """Skip to just past the next RST marker, reset bit buffer."""
         d = self.data
         p = self.pos
-        while not (d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7):
+        while p + 1 < len(d) and not (
+            d[p] == 0xFF and 0xD0 <= d[p + 1] <= 0xD7
+        ):
             p += 1
+        if p + 1 >= len(d):
+            raise ValueError("truncated JPEG stream")
         self.pos = p + 2
         self.buf = 0
         self.nbits = 0
@@ -129,6 +137,15 @@ def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
 
 
+def _unpack(fmt: str, buf: bytes) -> tuple:
+    """struct.unpack that reports truncation as the module's codec-level
+    ValueError instead of a bare struct.error (ADVICE r4)."""
+    try:
+        return struct.unpack(fmt, buf)
+    except struct.error as e:
+        raise ValueError("truncated JPEG stream") from e
+
+
 def decode_jpeg(payload: bytes) -> np.ndarray:
     """JPEG bytes -> (H, W, C) uint8, C = 1 (gray) or 3 (RGB)."""
     if payload[:2] != b"\xff\xd8":
@@ -141,13 +158,17 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
     while pos < len(payload):
         if payload[pos] != 0xFF:
             raise ValueError("JPEG marker desync")
+        if pos + 1 >= len(payload):
+            raise ValueError("truncated JPEG stream")
         marker = payload[pos + 1]
         pos += 2
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             continue
         if marker == 0xD9:  # EOI
             break
-        (seglen,) = struct.unpack(">H", payload[pos:pos + 2])
+        (seglen,) = _unpack(">H", payload[pos:pos + 2])
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("truncated JPEG stream")
         seg = payload[pos + 2:pos + seglen]
         if marker == 0xDB:  # DQT
             p = 0
@@ -155,6 +176,8 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 prec, tid = seg[p] >> 4, seg[p] & 0xF
                 if prec != 0:
                     raise NotImplementedError("16-bit quant tables")
+                if p + 65 > len(seg):
+                    raise ValueError("truncated JPEG stream")
                 qt[tid] = np.frombuffer(
                     seg[p + 1:p + 65], dtype=np.uint8
                 ).astype(np.int32)
@@ -165,15 +188,19 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 tc, th = seg[p] >> 4, seg[p] & 0xF
                 counts = list(seg[p + 1:p + 17])
                 n = sum(counts)
+                if len(counts) < 16 or p + 17 + n > len(seg):
+                    raise ValueError("truncated JPEG stream")
                 huff[(tc, th)] = _build_huffman(
                     counts, seg[p + 17:p + 17 + n]
                 )
                 p += 17 + n
         elif marker == 0xC0:  # SOF0 baseline
-            prec, h, w, nc = struct.unpack(">BHHB", seg[:6])
+            prec, h, w, nc = _unpack(">BHHB", seg[:6])
             if prec != 8:
                 raise NotImplementedError(f"JPEG precision {prec}")
             comps = []
+            if 6 + 3 * nc > len(seg):
+                raise ValueError("truncated JPEG stream")
             for i in range(nc):
                 cid, samp, tq = seg[6 + 3 * i:9 + 3 * i]
                 comps.append(
@@ -186,10 +213,12 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
                 f"JPEG SOF{marker - 0xC0} (non-baseline) not supported"
             )
         elif marker == 0xDD:  # DRI
-            (restart_interval,) = struct.unpack(">H", seg[:2])
+            (restart_interval,) = _unpack(">H", seg[:2])
         elif marker == 0xDA:  # SOS
             if frame is None:
                 raise ValueError("JPEG SOS before SOF0")
+            if not seg or 1 + 2 * seg[0] > len(seg):
+                raise ValueError("truncated JPEG stream")
             ns = seg[0]
             scan = {}
             for i in range(ns):
