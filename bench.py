@@ -25,6 +25,27 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+def _steal_sec() -> float:
+    """Cumulative hypervisor steal time (s) -- same reader as
+    tools/scaling_bench.py, so a noisy-host window is machine-detectable
+    from the bench JSON itself (VERDICT r4 ask #8)."""
+    try:
+        with open("/proc/stat") as f:
+            return int(f.readline().split()[8]) / 100.0
+    except Exception:
+        return 0.0
+
+
+def _cpu_sec() -> float:
+    """Cumulative host-wide busy CPU (user+nice+system, s)."""
+    try:
+        with open("/proc/stat") as f:
+            u, n, s = f.readline().split()[1:4]
+            return (int(u) + int(n) + int(s)) / 100.0
+    except Exception:
+        return 0.0
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -88,12 +109,14 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
     )
     try:
         timings: dict[str, float] = {}
+        run_t0, run_s0, run_c0 = time.monotonic(), _steal_sec(), _cpu_sec()
 
         # the cached corpus is one parquet file (one input split); real Iceberg
         # input arrives in many splits, so spread it across the cores here
         files = read_files(spark, parquet_path=corpus_path).repartition(n_parts)
         n_files = files.count()
         t0 = time.monotonic()
+        e2e_s0 = _steal_sec()
         # eager "count": persist + materialize each stage before the next --
         # measured FASTER than persist-only: without forced materialization,
         # branches of one wide job race to populate the cache and recompute
@@ -102,6 +125,7 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                            eager_metrics="count")
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         dedup_sec = time.monotonic() - t0
+        e2e_steal = _steal_sec() - e2e_s0
         timings["dedup_e2e"] = round(dedup_sec, 3)
         log(f"dedup_e2e: {n_files} files, {n_clusters} clusters, "
             f"{dedup_sec:.1f}s -> {n_files / dedup_sec:.0f} files/sec")
@@ -152,6 +176,20 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
             "deltas_vs_prev": deltas_vs_prev(timings),
             "queries_warm": warm,
             "deltas_warm_vs_prev": deltas_vs_prev(warm, key="queries_warm"),
+        }
+        # host-noise telemetry (same /proc/stat readers as the scaling
+        # harness): steal_frac > ~0.05 marks a burst-degraded window whose
+        # numbers should not be compared round-over-round
+        wall = time.monotonic() - run_t0
+        steal = _steal_sec() - run_s0
+        out["telemetry"] = {
+            "wall_sec": round(wall, 1),
+            "steal_sec": round(steal, 1),
+            "steal_frac": round(steal / wall, 4) if wall else 0.0,
+            "busy_cpu_sec": round(_cpu_sec() - run_c0, 1),
+            "e2e_steal_sec": round(e2e_steal, 1),
+            "e2e_steal_frac": round(e2e_steal / dedup_sec, 4)
+            if dedup_sec else 0.0,
         }
         if collect_stages:
             import urllib.request
