@@ -376,6 +376,71 @@ def frame_sample_plan(
     )
 
 
+def resize_image_array(img: np.ndarray, tw: int, th: int) -> np.ndarray:
+    """Nearest-neighbor resize of an (H, W, C) uint8 array, pure vectorized
+    numpy (one fancy-index gather per axis, no Python pixel loop). Shared
+    by the Spark operator and its tests."""
+    h, w = img.shape[:2]
+    rows = np.minimum((np.arange(th) * h) // th, h - 1)
+    cols = np.minimum((np.arange(tw) * w) // tw, w - 1)
+    return img[rows][:, cols]
+
+
+def resize_images(
+    media: DataFrame, target_w: int, target_h: int,
+    skip_malformed: bool = True,
+) -> DataFrame:
+    """Decode -> nearest-neighbor resize -> re-encode PNG for every image
+    row, as an Arrow-batched mapInPandas operator (the brief's `resize`
+    step beside decode/feature-extract/frame-sample).
+
+    Input: MEDIA_SCHEMA rows; image mimes (PNG via the stdlib kernel,
+    baseline JPEG via functions/jpeg.py) are decoded for real; non-image
+    rows are dropped JVM-side BEFORE Python so the Arrow channel carries
+    only work. Output payloads are canonical PNG (one re-encode target
+    keeps downstream byte-level dedup meaningful across source formats).
+    Malformed payloads are skipped (skip_malformed=True, the 100TB
+    posture) or re-raise the codec ValueError.
+    """
+    from microdeduplication_spark.functions.jpeg import decode_jpeg
+
+    decoders = {"image/png": decode_png, "image/jpeg": decode_jpeg}
+    out_schema = (
+        "media_id long, kind string, mime string, width int, height int, "
+        "duration_ms long, payload binary"
+    )
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    img = decoders[r.mime](bytes(r.payload))
+                except ValueError:
+                    if skip_malformed:
+                        continue
+                    raise
+                resized = resize_image_array(img, target_w, target_h)
+                rows.append(
+                    (
+                        r.media_id, r.kind, "image/png",
+                        target_w, target_h, r.duration_ms,
+                        encode_png(np.ascontiguousarray(resized)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "kind", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    return media.where(
+        F.col("mime").isin(list(decoders))
+    ).mapInPandas(op, schema=out_schema)
+
+
 def media_exact_dedup(media: DataFrame) -> DataFrame:
     """Exact media dedup by payload sha256 -- same groupBy(min) shape as the
     text pipeline's exact pass."""

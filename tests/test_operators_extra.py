@@ -1062,3 +1062,45 @@ def test_jpeg_truncation_raises_value_error():
             decode_jpeg(bytes(bad))
         except (ValueError, NotImplementedError):
             pass
+
+
+def test_resize_images_operator(spark):
+    """resize_images: real decode (PNG + baseline JPEG) -> vectorized
+    nearest-neighbor resize -> canonical PNG re-encode, via mapInPandas;
+    non-image rows filtered JVM-side, malformed payloads skipped."""
+    from microdeduplication_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_png,
+        encode_png,
+        resize_image_array,
+        resize_images,
+    )
+
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(16, 12, 3), dtype=np.uint8)
+    png = encode_png(img)
+    yy, xx = np.mgrid[0:24, 0:20]
+    gray = ((yy * 5 + xx * 3) % 256).astype(np.uint8)[..., None]
+    jpg = _make_jpeg(gray, quant_val=1)
+    rows = [
+        (0, "image", "image/png", 12, 16, 0, png),
+        (1, "image", "image/jpeg", 20, 24, 0, jpg),
+        (2, "audio", "audio/wav", 0, 0, 1000, b"RIFFjunk"),   # filtered
+        (3, "image", "image/png", 4, 4, 0, b"\x89PNGbroken"),  # skipped
+    ]
+    media = spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 8, 6).collect()}
+
+    assert set(out) == {0, 1}  # audio filtered, malformed skipped
+    for r in out.values():
+        assert (r["mime"], r["width"], r["height"]) == ("image/png", 8, 6)
+    got0 = decode_png(bytes(out[0]["payload"]))
+    np.testing.assert_array_equal(got0, resize_image_array(img, 8, 6))
+    got1 = decode_png(bytes(out[1]["payload"]))
+    assert got1.shape == (6, 8, 1)  # grayscale JPEG stays 1-channel
+
+    # skip_malformed=False surfaces the codec error
+    bad = spark.createDataFrame([rows[3]], schema=MEDIA_SCHEMA)
+    with pytest.raises(Exception) as ei:
+        resize_images(bad, 8, 6, skip_malformed=False).collect()
+    assert "ValueError" in str(ei.value) or "PNG" in str(ei.value)
