@@ -725,6 +725,64 @@ def q_media_features(spark, sf_dir) -> DataFrame:
     ).select("media_id", "kind", "feat_dim", "features", "payload_sha256")
 
 
+def q_media_resize(spark, sf_dir) -> DataFrame:
+    """Multimodal resize step: decode (PNG/baseline-JPEG) -> vectorized
+    nearest-neighbor resize -> canonical PNG re-encode via mapInPandas;
+    non-image rows filtered JVM-side. Oracle: expected output payload
+    sha256s computed OUTSIDE Spark by the same kernels over the same
+    deterministic payloads, embedded as literals (r5)."""
+    from microdeduplication_spark.operators.multimodal import (
+        resize_images,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48, seed=42, real_payloads=True)
+    return resize_images(media, 16, 12).select(
+        "media_id", "kind", "mime", "width", "height",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )
+
+
+def _media_resize_oracle() -> str:
+    """Literal replay of q_media_resize outside Spark: same synth rows,
+    same decode kernels, same resize_image_array + encode_png -- expected
+    (media_id, kind, mime, width, height, payload_sha256) as VALUES."""
+    import hashlib
+
+    import numpy as np
+
+    from microdeduplication_spark.functions.jpeg import decode_jpeg
+    from microdeduplication_spark.operators.multimodal import (
+        decode_png,
+        encode_png,
+        resize_image_array,
+        synth_media_rows,
+    )
+
+    decoders = {"image/png": decode_png, "image/jpeg": decode_jpeg}
+    rows = []
+    for media_id, kind, mime, *_rest, payload in synth_media_rows(
+        48, 42, real_payloads=True
+    ):
+        if mime not in decoders:
+            continue
+        img = decoders[mime](payload)
+        out = encode_png(
+            np.ascontiguousarray(resize_image_array(img, 16, 12))
+        )
+        rows.append(
+            (media_id, kind, hashlib.sha256(out).hexdigest())
+        )
+    values = ",\n".join(
+        f"({mid}, '{kind}', 'image/png', 16, 12, '{sha}')"
+        for mid, kind, sha in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        "\n) AS t(media_id, kind, mime, width, height, payload_sha256)"
+    )
+
+
 def _media_features_oracle() -> str:
     """Literal-embedding oracle for q_media_features (VERDICT r4 ask #2):
     the expected rows -- including the full feature vectors -- are computed
@@ -811,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quad_type_stats": q_quad_type_stats,
         "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
+        "media_resize": q_media_resize,
     }
 
 
@@ -1077,6 +1136,7 @@ def oracle_sql() -> dict[str, str]:
         "srp_knn_top3": _srp_knn_top3_oracle(),
         "ivf_knn_top3": _ivf_knn_top3_oracle(),
         "media_features": _media_features_oracle(),
+        "media_resize": _media_resize_oracle(),
         "exact_dedup_clusters": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id
