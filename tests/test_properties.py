@@ -169,3 +169,51 @@ def test_build_quads_fuzz_vs_java(spark, lines, key_parts):
         build_quads(F.col("key"), F.col("nt")).alias("q")
     ).collect()[0]["q"]
     assert list(got) == _java_set_statements(key, nt)
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=16, max_value=4096),   # width
+    st.integers(min_value=16, max_value=4096),   # height
+    st.integers(min_value=1, max_value=600000),  # duration_ms
+    st.sampled_from([600, 1000, 90000, 48000]),  # timescale
+    st.booleans(),                               # with_audio
+)
+def test_mp4_roundtrip_fuzz(width, height, duration_ms, timescale, with_audio):
+    """encode_mp4 -> parse_mp4 round-trips every field across the parameter
+    space (duration rounding respects the mvhd timescale)."""
+    from microdeduplication_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    p = encode_mp4(width, height, duration_ms, timescale, with_audio)
+    m = parse_mp4(p)
+    assert m["timescale"] == timescale
+    assert m["duration"] == duration_ms * timescale // 1000
+    handlers = [t["handler"] for t in m["tracks"]]
+    assert handlers == (["vide", "soun"] if with_audio else ["vide"])
+    v = m["tracks"][0]
+    assert (v["width"], v["height"]) == (float(width), float(height))
+    assert v["media_timescale"] == 90000
+    assert v["media_duration"] == duration_ms * 90
+
+
+@SETTINGS
+@given(st.data())
+def test_mp4_mutation_only_raises_value_error(data):
+    """Arbitrary byte corruption / truncation of a valid container must
+    either still parse or raise the codec-level ValueError -- never
+    IndexError/struct.error/KeyError (same contract as the JPEG kernel)."""
+    from microdeduplication_spark.functions.mp4 import encode_mp4, parse_mp4
+
+    p = bytearray(encode_mp4(320, 240, 1500, with_audio=True))
+    mode = data.draw(st.sampled_from(["truncate", "flip", "both"]))
+    if mode in ("truncate", "both"):
+        p = p[: data.draw(st.integers(min_value=0, max_value=len(p)))]
+    if mode in ("flip", "both") and len(p):
+        for _ in range(data.draw(st.integers(min_value=1, max_value=8))):
+            i = data.draw(st.integers(min_value=0, max_value=len(p) - 1))
+            p[i] ^= data.draw(st.integers(min_value=1, max_value=255))
+    try:
+        meta = parse_mp4(bytes(p))
+        assert isinstance(meta["tracks"], list)  # parsed: shape intact
+    except ValueError:
+        pass  # the only permitted failure type
