@@ -64,10 +64,21 @@ def _fake_features(payload: bytes, dim: int) -> np.ndarray:
 
 def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     """WAV bytes -> (mono float64 samples in [-1, 1], sample_rate).
-    Stdlib `wave`: PCM 8/16/32-bit; 8-bit is unsigned per the RIFF spec."""
-    with wave.open(io.BytesIO(payload), "rb") as w:
-        n_ch, width, rate = w.getnchannels(), w.getsampwidth(), w.getframerate()
-        raw = w.readframes(w.getnframes())
+    Stdlib `wave`: PCM 8/16/32-bit; 8-bit is unsigned per the RIFF spec.
+    Malformed/truncated input raises ValueError (the codec-level error
+    contract shared by all kernels; stdlib wave's EOFError/wave.Error are
+    normalized so fallback_fake/skip_malformed paths actually catch them)."""
+    try:
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            n_ch, width, rate = (
+                w.getnchannels(), w.getsampwidth(), w.getframerate()
+            )
+            raw = w.readframes(w.getnframes())
+    except (wave.Error, EOFError, struct.error, RuntimeError) as e:
+        # wave/chunk raise wave.Error, EOFError, struct.error and (for some
+        # corrupt fmt-chunk sizes) RuntimeError -- all are parse failures of
+        # the stdlib reader, scoped to this block only
+        raise ValueError(f"malformed WAV stream: {e}") from e
     if width == 1:
         x = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
         x = (x - 128.0) / 128.0
@@ -97,7 +108,9 @@ def decode_png(payload: bytes) -> np.ndarray:
         (length,), ctype = struct.unpack(">I", payload[pos:pos + 4]), payload[pos + 4:pos + 8]
         data = payload[pos + 8:pos + 8 + length]
         if ctype == b"IHDR":
-            ihdr = struct.unpack(">IIBBBBB", data)
+            if len(data) < 13:
+                raise ValueError("malformed PNG stream: short IHDR")
+            ihdr = struct.unpack(">IIBBBBB", data[:13])
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -111,7 +124,11 @@ def decode_png(payload: bytes) -> np.ndarray:
             f"PNG depth={depth} color={color} interlace={interlace}"
         )
     ch = _PNG_CHANNELS[color]
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # normalize to the shared codec-level contract (see decode_wav)
+        raise ValueError(f"malformed PNG stream: {e}") from e
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")

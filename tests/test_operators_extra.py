@@ -1104,3 +1104,35 @@ def test_resize_images_operator(spark):
     with pytest.raises(Exception) as ei:
         resize_images(bad, 8, 6, skip_malformed=False).collect()
     assert "ValueError" in str(ei.value) or "PNG" in str(ei.value)
+
+
+def test_png_wav_malformed_raise_value_error_only():
+    """The codec-level error contract holds for PNG and WAV too (r5): every
+    truncation point and every single-byte flip of valid payloads raises
+    ValueError/NotImplementedError -- never zlib.error, wave.Error,
+    EOFError, struct.error or RuntimeError, which would escape the
+    fallback_fake / skip_malformed catches and kill a Spark task."""
+    from microdeduplication_spark.operators.multimodal import (
+        decode_png,
+        decode_wav,
+        encode_png,
+        encode_wav,
+    )
+
+    img = np.arange(48, dtype=np.uint8).reshape(4, 4, 3)
+    for payload, dec in (
+        (encode_png(img), decode_png),
+        (encode_wav(np.sin(np.arange(500) / 20.0)), decode_wav),
+    ):
+        for cut in range(0, len(payload)):
+            try:
+                dec(payload[:cut])
+            except (ValueError, NotImplementedError):
+                pass
+        for off in range(len(payload)):
+            bad = bytearray(payload)
+            bad[off] ^= 0xFF
+            try:
+                dec(bytes(bad))
+            except (ValueError, NotImplementedError):
+                pass
