@@ -473,3 +473,125 @@ def test_compaction_interleaves_with_live_stream(spark, cfg, tmp_path):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "PartitionFilters" in plan and "key_bucket" in plan
+
+
+def test_first_seen_handler_branches_unit():
+    """Unit-test the stateful handler with a duck-typed GroupState: unseen
+    emits min-id row + arms TTL, seen suppresses + re-arms, timeout evicts."""
+    import pandas as pd
+
+    from microdeduplication_spark.streaming.stateful import make_first_seen_fn
+
+    class FakeState:
+        def __init__(self, exists=False, seen=False, timed_out=False):
+            self.exists, self._seen = exists, (seen,)
+            self.hasTimedOut = timed_out
+            self.updated = self.removed = False
+            self.ttl_set = None
+
+        @property
+        def get(self):
+            return self._seen
+
+        def update(self, v):
+            self.updated, self._seen, self.exists = True, v, True
+
+        def remove(self):
+            self.removed, self.exists = True, False
+
+        def setTimeoutDuration(self, ms):
+            self.ttl_set = ms
+
+    fn = make_first_seen_fn(5000)
+    mk = lambda ids: pd.DataFrame(
+        {"norm_sha": ["s"] * len(ids), "file_id": ids,
+         "repo": ["r"] * len(ids), "path": ["p"] * len(ids)}
+    )
+
+    # unseen key: emits the min file_id across chunks, arms the TTL
+    st = FakeState()
+    out = list(fn(("s",), iter([mk([9, 4]), mk([2, 7])]), st))
+    assert len(out) == 1 and out[0]["file_id"].iloc[0] == 2
+    assert st.updated and st.ttl_set == 5000
+
+    # seen key: suppresses, activity re-arms the TTL
+    st = FakeState(exists=True, seen=True)
+    assert list(fn(("s",), iter([mk([5])]), st)) == []
+    assert st.ttl_set == 5000
+
+    # timeout callback: evicts state, emits nothing
+    st = FakeState(exists=True, seen=True, timed_out=True)
+    assert list(fn(("s",), iter([]), st)) == []
+    assert st.removed and st.ttl_set is None
+
+    # no-TTL variant never touches the timeout API
+    st = FakeState()
+    list(make_first_seen_fn(None)(("s",), iter([mk([1])]), st))
+    assert st.ttl_set is None
+
+
+def _await_input_rows(q, total, timeout_s=90):
+    """Wait until the query has INGESTED >= total source rows. A TTL stream
+    runs a batch every trigger even with no new data (so idle timeouts can
+    fire), which means noNewData is never latched and processAllAvailable
+    would hang forever -- poll recentProgress instead."""
+    import time
+
+    deadline = time.time() + timeout_s
+    while time.time() < deadline:
+        done = sum(p["numInputRows"] for p in q.recentProgress)
+        if done >= total:
+            return
+        time.sleep(0.25)
+    raise AssertionError(
+        f"stream ingested {done} rows, wanted {total} within {timeout_s}s"
+    )
+
+
+def test_first_seen_ttl_evicts_and_reemits(spark, cfg, tmp_path):
+    """state_ttl_ms bounds the state store: a key idle past the TTL is
+    evicted (timeout fires on a later trigger), so its next arrival
+    RE-EMITS -- the documented tradeoff reconciled by the batch pass.
+
+    Also pins the execution-model caveat from streaming/stateful.py: the
+    TTL stream is paced by a processing-time trigger and driven by polling,
+    never by processAllAvailable (which cannot return under
+    ProcessingTimeTimeout)."""
+    import time
+
+    from microdeduplication_spark.streaming.stateful import (
+        streaming_first_seen,
+    )
+
+    src = str(tmp_path / "in")
+    _write_batch(spark, src, [("r", "a.py", "c1", "python", "x = 1")])
+    # TTL must dwarf micro-batch latency (cold first batch ~5s) so the
+    # duplicate lands INSIDE the window; trigger paces at ttl/2 = 6s
+    q = streaming_first_seen(spark, src, cfg, state_ttl_ms=12000)
+    try:
+        _await_input_rows(q, 1)
+        assert spark.sql("SELECT * FROM first_seen").count() == 1
+
+        # same key again INSIDE the TTL window: suppressed
+        _write_batch(spark, src, [("r", "b.py", "c2", "python", "x = 1")])
+        _await_input_rows(q, 2)
+        assert spark.sql("SELECT * FROM first_seen").count() == 1
+
+        # let the TTL lapse; the paced empty batches fire the timeout
+        # callback WITHOUT new data and evict the idle state
+        # (deadline = last activity + 12s, fired by a trigger <= 6s later)
+        time.sleep(20.0)
+
+        # the evicted key re-arrives: re-emitted (state was dropped)
+        _write_batch(spark, src, [("r", "d.py", "c4", "python", "x = 1")])
+        _await_input_rows(q, 3)
+        deadline = time.time() + 60
+        while time.time() < deadline:
+            rows = spark.sql("SELECT * FROM first_seen").collect()
+            if len(rows) >= 2:
+                break
+            time.sleep(0.25)
+        paths = sorted(r["path"] for r in rows)
+        assert paths == ["a.py", "d.py"]  # first emit + post-eviction re-emit
+    finally:
+        q.stop()
