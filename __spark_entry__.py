@@ -708,12 +708,14 @@ def q_snm_product_dedup(spark, sf_dir) -> DataFrame:
 
 def q_media_features(spark, sf_dir) -> DataFrame:
     """Multimodal feature extraction: deterministic media table with VALID
-    PNG/WAV/MP4 payloads through the REAL decode kernels (stdlib zlib
-    unfilter / wave / ISO-BMFF atom walk; functions/jpeg.py covers
-    image/jpeg in pytest). Every row decodes for real; fallback_fake only
-    absorbs malformed payloads (none here). Oracle-matched (r5): expected
-    rows incl. feature vectors computed outside Spark by the same kernels
-    and embedded as literals -- see _media_features_oracle."""
+    PNG/WAV/MP4/MJPEG-AVI payloads through the REAL decode kernels
+    (stdlib zlib unfilter / wave / ISO-BMFF atom walk / RIFF walk + real
+    per-frame baseline-JPEG decode for AVI -- functions/jpeg.py also
+    covers image/jpeg in pytest). Every row decodes for real;
+    fallback_fake only absorbs malformed payloads (none here).
+    Oracle-matched (r5): expected rows incl. feature vectors computed
+    outside Spark by the same kernels and embedded as literals -- see
+    _media_features_oracle."""
     from microdeduplication_spark.operators.multimodal import (
         extract_features,
         synth_media,

@@ -318,3 +318,174 @@ def _decode_scan(payload, pos, frame, scan, qt, huff, restart_interval):
     else:
         raise NotImplementedError(f"{len(planes)}-component JPEG")
     return np.clip(np.round(out), 0, 255).astype(np.uint8)
+
+
+# --- encoder (promoted from tests in r5 for the MJPEG-AVI kernel) ----
+
+def encode_baseline_jpeg(img: np.ndarray, quant_val: int = 1,
+                         restart: int = 0, subsample: bool = False) -> bytes:
+    """Minimal baseline JPEG ENCODER: 4:4:4 / 4:2:0 (or
+    grayscale), flat quantization table of `quant_val` (1 = near-lossless
+    so the decode round-trip can assert tight error bounds), standard
+    Annex K luma huffman tables used for every component. Independent of
+    the decoder under test: forward DCT here is a straight numpy
+    transcription of the definition; the decoder's IDCT is the transpose
+    pair. subsample=True emits Y at 2x2 sampling with 2x2-mean-downsampled
+    chroma (4:2:0) -- exercises the decoder's MCU block ordering and
+    nearest-neighbor upsample path."""
+    h, w, nc = img.shape
+    # --- standard Annex K tables (public ITU T.81) ---
+    dc_counts = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+    dc_syms = list(range(12))
+    ac_counts = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+    ac_syms = [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ]
+
+    def enc_table(counts, syms):
+        code, out = 0, {}
+        k = 0
+        for length in range(1, 17):
+            for _ in range(counts[length - 1]):
+                out[syms[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_enc, ac_enc = enc_table(dc_counts, dc_syms), enc_table(ac_counts, ac_syms)
+
+    if nc == 3:  # RGB -> JFIF YCbCr
+        r, g, b = (img[..., i].astype(np.float64) for i in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    else:
+        planes = [img[..., 0].astype(np.float64)]
+
+    qtab = np.full(64, quant_val, dtype=np.int32)
+    bits: list[tuple[int, int]] = []  # (length, value) stream
+
+    def put(length, value):
+        if length:
+            bits.append((length, value))
+
+    samp = [(2, 2), (1, 1), (1, 1)] if (subsample and nc == 3) else \
+        [(1, 1)] * nc
+    if subsample and nc == 3:
+        # pad to even dims, then 2x2 block-mean the chroma planes
+        ph, pw = -(-h // 2) * 2, -(-w // 2) * 2
+        for i in (1, 2):
+            p = np.zeros((ph, pw))
+            p[:h, :w] = planes[i]
+            p[h:, :w] = planes[i][h - 1:, :]  # edge-replicate padding
+            p[:, w:] = p[:, w - 1:w]
+            planes[i] = p.reshape(ph // 2, 2, pw // 2, 2).mean(axis=(1, 3))
+    hmax = max(sx for sx, _ in samp)
+    vmax = max(sy for _, sy in samp)
+    bh, bw = -(-h // (8 * vmax)), -(-w // (8 * hmax))
+    pred = [0] * nc
+    mcu = 0
+    out = bytearray()
+
+    def flush_bits():
+        nonlocal bits
+        stream, acc, n = bytearray(), 0, 0
+        for length, value in bits:
+            acc = (acc << length) | (value & ((1 << length) - 1))
+            n += length
+            while n >= 8:
+                n -= 8
+                byte = (acc >> n) & 0xFF
+                stream.append(byte)
+                if byte == 0xFF:
+                    stream.append(0x00)
+        if n:
+            byte = ((acc << (8 - n)) | ((1 << (8 - n)) - 1)) & 0xFF
+            stream.append(byte)
+            if byte == 0xFF:
+                stream.append(0x00)
+        bits = []
+        return bytes(stream)
+
+    for by in range(bh):
+        for bx in range(bw):
+            if restart and mcu and mcu % restart == 0:
+                out += flush_bits()
+                out += bytes([0xFF, 0xD0 + ((mcu // restart - 1) % 8)])
+                pred = [0] * nc
+            for ci, plane in enumerate(planes):
+                sx, sy = samp[ci]
+                for iy in range(sy):
+                    for ix in range(sx):
+                        blk = np.zeros((8, 8))
+                        y0 = (by * sy + iy) * 8
+                        x0 = (bx * sx + ix) * 8
+                        tile = plane[y0:y0 + 8, x0:x0 + 8] - 128.0
+                        blk[: tile.shape[0], : tile.shape[1]] = tile
+                        coef = _DCT @ blk @ _DCT.T
+                        q = np.round(
+                            coef.reshape(-1)[ZIGZAG] / qtab
+                        ).astype(int)
+                        diff = int(q[0]) - pred[ci]
+                        pred[ci] = int(q[0])
+                        s = int(abs(diff)).bit_length() if diff else 0
+                        put(*dc_enc[s])
+                        if s:
+                            put(s, diff if diff >= 0
+                                else diff + (1 << s) - 1)
+                        k, run = 1, 0
+                        while k < 64:
+                            v = int(q[k])
+                            if v == 0:
+                                run += 1
+                            else:
+                                while run > 15:
+                                    put(*ac_enc[0xF0])
+                                    run -= 16
+                                s = int(abs(v)).bit_length()
+                                put(*ac_enc[(run << 4) | s])
+                                put(s, v if v >= 0 else v + (1 << s) - 1)
+                                run = 0
+                            k += 1
+                        if run:
+                            put(*ac_enc[0x00])
+            mcu += 1
+    out += flush_bits()
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    dqt = seg(0xDB, bytes([0]) + bytes(qtab.tolist()))
+    comps = b"".join(
+        bytes([i + 1, (samp[i][0] << 4) | samp[i][1], 0]) for i in range(nc)
+    )
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, nc) + comps)
+    dht = seg(0xC4, bytes([0x00]) + bytes(dc_counts) + bytes(dc_syms)) + seg(
+        0xC4, bytes([0x10]) + bytes(ac_counts) + bytes(ac_syms)
+    )
+    dri = seg(0xDD, struct.pack(">H", restart)) if restart else b""
+    sos = seg(
+        0xDA,
+        bytes([nc]) + b"".join(bytes([i + 1, 0x00]) for i in range(nc))
+        + bytes([0, 63, 0]),
+    )
+    return (
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(out) + b"\xff\xd9"
+    )

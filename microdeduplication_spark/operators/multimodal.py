@@ -15,13 +15,18 @@ Decode kernels, by format:
   sequential DCT: marker parse, canonical huffman entropy decode,
   dequantize, batched numpy IDCT, chroma upsample, YCbCr->RGB. Same
   feature recipe as PNG.
+- **MJPEG AVI (video/x-msvideo)**: REAL decode incl. FRAMES via
+  functions/avi.py (pure-stdlib RIFF walk) -- every '00dc' chunk is a
+  complete baseline JPEG fed to functions/jpeg.py, features = container
+  header + sampled per-frame luma + temporal motion energy.
 - **MP4 (video/mp4)**: REAL *container* parse via stdlib struct
   (functions/mp4.py: ISO-BMFF atom walk, moov/mvhd + trak/tkhd/mdhd/hdlr)
-  -- duration, track geometry, handler counts. FRAME decode needs ffmpeg
-  (absent in this container): that slot stays honestly stubbed; other
-  video mimes raise NotImplementedError at the exact plug-in point (or
-  take the seeded-fake fallback with fallback_fake=True, which also
-  absorbs malformed payloads instead of killing the task).
+  -- duration, track geometry, handler counts. MP4 FRAME decode needs an
+  H.264 codec (ffmpeg, absent in this container): that slot stays
+  honestly stubbed; other video mimes raise NotImplementedError at the
+  exact plug-in point (or take the seeded-fake fallback with
+  fallback_fake=True, which also absorbs malformed payloads instead of
+  killing the task).
 
 Scale notes: payloads never pass through Python row-at-a-time; mapInPandas
 streams Arrow batches, and the output drops the binary column as early as
@@ -292,11 +297,52 @@ def mp4_features(payload: bytes, dim: int) -> np.ndarray:
     return out
 
 
+def avi_features(payload: bytes, dim: int) -> np.ndarray:
+    """REAL video decode: MJPEG-AVI container walk (functions/avi.py) +
+    per-frame baseline-JPEG decode (functions/jpeg.py). Features =
+    [duration, fps, n_frames, w, h, motion energy] + sampled per-frame
+    mean luma. At most 8 frames are decoded, sampled evenly across the
+    stream -- the per-row cost is bounded no matter the clip length."""
+    from microdeduplication_spark.functions.avi import parse_avi
+    from microdeduplication_spark.functions.jpeg import decode_jpeg
+
+    meta = parse_avi(payload)
+    frames = meta["frames"]
+    if not frames:
+        raise ValueError("AVI has no frame chunks")
+    idx = np.unique(
+        np.linspace(0, len(frames) - 1, min(len(frames), 8)).astype(int)
+    )
+    lumas: list[float] = []
+    motion: list[float] = []
+    prev = None
+    for j in idx:
+        img = decode_jpeg(frames[j])
+        luma = img[..., : min(img.shape[-1], 3)].astype(np.float64).mean(axis=-1)
+        lumas.append(float(luma.mean()) / 255.0)
+        if prev is not None and prev.shape == luma.shape:
+            motion.append(float(np.abs(luma - prev).mean()) / 255.0)
+        prev = luma
+    head = [
+        meta["duration_s"] / 3600.0,
+        meta["fps"] / 120.0,
+        meta["n_frames"] / 1e4,
+        meta["width"] / 4096.0,
+        meta["height"] / 4096.0,
+        float(np.mean(motion)) if motion else 0.0,
+    ]
+    feats = np.array(head + lumas)
+    out = np.zeros(dim, dtype=np.float32)
+    out[: min(dim, len(feats))] = feats[:dim]
+    return out
+
+
 _REAL_KERNELS = {
     "audio/wav": wav_features,
     "image/png": png_features,
     "image/jpeg": jpeg_features,
     "video/mp4": mp4_features,
+    "video/x-msvideo": avi_features,
 }
 
 
@@ -338,9 +384,11 @@ def extract_features(
     deterministic_fake=True: seeded pseudo-features for every row (test
     reproducibility -- synthetic payloads are not valid media).
     deterministic_fake=False: REAL decode for WAV (stdlib wave), PNG
-    (stdlib zlib + unfilter) and baseline JPEG (functions/jpeg.py); mimes
-    without an in-container codec (video) raise NotImplementedError at
-    the exact plug-in point for an ffmpeg kernel -- unless
+    (stdlib zlib + unfilter), baseline JPEG (functions/jpeg.py), MJPEG-AVI
+    incl. frames (functions/avi.py) and the MP4 container; mimes without
+    an in-container codec (MP4 frames, other video) raise
+    NotImplementedError at the exact plug-in point for an ffmpeg kernel
+    -- unless
     fallback_fake=True, which substitutes the seeded pseudo-features for
     exactly those mimes (so a mixed-mime table can flow end-to-end while
     the video kernel slot stays honestly stubbed). The Spark contract --
@@ -513,6 +561,12 @@ def synth_media_rows(
     rows = []
     for i in range(n):
         kind = kinds[i % 3]
+        # video rows alternate container: even video ordinals are MP4
+        # (container-parse kernel), odd ones MJPEG-AVI (REAL frame decode)
+        mime = {"image": "image/png", "audio": "audio/wav",
+                "video": "video/mp4"}[kind]
+        if kind == "video" and (i // 3) % 2 == 1:
+            mime = "video/x-msvideo"
         if real_payloads and kind == "image":
             img = rng.integers(
                 0, 256, size=(int(rng.integers(4, 12)),
@@ -524,7 +578,7 @@ def synth_media_rows(
             payload = encode_wav(
                 np.sin(2 * np.pi * float(rng.integers(100, 2000)) * t)
             )
-        elif real_payloads and kind == "video":
+        elif real_payloads and kind == "video" and mime == "video/mp4":
             from microdeduplication_spark.functions.mp4 import encode_mp4
 
             payload = encode_mp4(
@@ -533,19 +587,44 @@ def synth_media_rows(
                 duration_ms=int(rng.integers(500, 120000)),
                 with_audio=bool(rng.integers(0, 2)),
             )
+        elif real_payloads and kind == "video":  # MJPEG-AVI, real frames
+            from microdeduplication_spark.functions.avi import (
+                encode_mjpeg_avi,
+            )
+            from microdeduplication_spark.functions.jpeg import (
+                encode_baseline_jpeg,
+            )
+
+            fw = 8 * int(rng.integers(1, 4))
+            fh = 8 * int(rng.integers(1, 4))
+            n_frames = int(rng.integers(2, 6))
+            payload = encode_mjpeg_avi(
+                [
+                    encode_baseline_jpeg(
+                        rng.integers(0, 256, size=(fh, fw, 3),
+                                     dtype=np.uint8),
+                        quant_val=1,
+                    )
+                    for _ in range(n_frames)
+                ],
+                fw, fh, fps=int(rng.integers(5, 30)),
+            )
         else:
             payload = rng.bytes(64 + int(rng.integers(0, 192)))
         if i % 7 == 0 and rows:  # planted exact duplicate payloads
             # real mode duplicates within the same kind (rows[-3] has the
-            # same mime, so the copied payload stays decodable); fake mode
+            # same kind, so the copied payload stays decodable; mime rides
+            # along since the two video containers alternate); fake mode
             # keeps the original cross-kind copy (byte-level dedup only)
-            payload = rows[-3][-1] if real_payloads and len(rows) >= 3 \
-                else rows[-1][-1]
+            if real_payloads and len(rows) >= 3:
+                payload, mime = rows[-3][-1], rows[-3][2]
+            else:
+                payload = rows[-1][-1]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                mime,
                 int(rng.integers(16, 512)),
                 int(rng.integers(16, 512)),
                 int(rng.integers(1000, 60000)),
@@ -562,8 +641,9 @@ def synth_media(
 
     real_payloads=False: opaque pseudo-random bytes (schema/plumbing only).
     real_payloads=True: image rows carry VALID PNG bytes, audio rows VALID
-    WAV bytes, video rows VALID MP4 containers (deterministically
-    generated, decodable by the real kernels).
+    WAV bytes, video rows alternate VALID MP4 containers and VALID
+    MJPEG-AVI clips with real JPEG frames (deterministically generated,
+    decodable by the real kernels).
     """
     return spark.createDataFrame(
         synth_media_rows(n, seed, real_payloads), schema=MEDIA_SCHEMA
