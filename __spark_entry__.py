@@ -745,6 +745,56 @@ def q_media_resize(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_media_frames(spark, sf_dir) -> DataFrame:
+    """Video -> per-frame image rows: the MJPEG-AVI container walk
+    (functions/avi.py) emits each stored frame as an ordinary image/jpeg
+    media row -- payload passthrough, no transcode -- with real
+    fps-derived timestamps. MP4 rows are filtered JVM-side (their frame
+    codec is the honest ffmpeg gate). Oracle: frames + timestamps
+    recomputed outside Spark by the same parser, embedded as literals."""
+    from microdeduplication_spark.operators.multimodal import (
+        extract_frames,
+        synth_media,
+    )
+
+    media = synth_media(spark, n=48, seed=42, real_payloads=True)
+    return extract_frames(media, every_k=2).select(
+        "media_id", "frame_idx", "frame_ts_ms", "mime",
+        F.sha2(F.col("payload"), 256).alias("payload_sha256"),
+    )
+
+
+def _media_frames_oracle() -> str:
+    """Literal replay of q_media_frames outside Spark: same synth rows,
+    same parse_avi, same every_k=2 sampling and fps->ms timestamps."""
+    import hashlib
+
+    from microdeduplication_spark.functions.avi import parse_avi
+    from microdeduplication_spark.operators.multimodal import synth_media_rows
+
+    rows = []
+    for media_id, _kind, mime, *_rest, payload in synth_media_rows(
+        48, 42, real_payloads=True
+    ):
+        if mime != "video/x-msvideo":
+            continue
+        meta = parse_avi(payload)
+        ms_per = (1000.0 / meta["fps"]) if meta["fps"] else 0.0
+        for j, f in enumerate(meta["frames"][::2]):
+            rows.append(
+                (media_id, j, int(j * 2 * ms_per),
+                 hashlib.sha256(f).hexdigest())
+            )
+    values = ",\n".join(
+        f"({mid}, {j}, {ts}, 'image/jpeg', '{sha}')"
+        for mid, j, ts, sha in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n" + values +
+        "\n) AS t(media_id, frame_idx, frame_ts_ms, mime, payload_sha256)"
+    )
+
+
 def _media_resize_oracle() -> str:
     """Literal replay of q_media_resize outside Spark: same synth rows,
     same decode kernels, same resize_image_array + encode_png -- expected
@@ -872,6 +922,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snm_product_dedup": q_snm_product_dedup,
         "media_features": q_media_features,
         "media_resize": q_media_resize,
+        "media_frames": q_media_frames,
     }
 
 
@@ -1139,6 +1190,7 @@ def oracle_sql() -> dict[str, str]:
         "ivf_knn_top3": _ivf_knn_top3_oracle(),
         "media_features": _media_features_oracle(),
         "media_resize": _media_resize_oracle(),
+        "media_frames": _media_frames_oracle(),
         "exact_dedup_clusters": """
             SELECT doc_id,
                    MIN(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id

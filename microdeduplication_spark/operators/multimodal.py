@@ -441,6 +441,62 @@ def frame_sample_plan(
     )
 
 
+FRAME_SCHEMA = (
+    "media_id long, frame_idx int, frame_ts_ms long, mime string, "
+    "payload binary"
+)
+
+
+def extract_frames(
+    media: DataFrame, every_k: int = 1, max_frames: int | None = None,
+) -> DataFrame:
+    """Video rows -> one row per sampled frame (Arrow mapInPandas).
+
+    For MJPEG-AVI the container already stores each frame as a complete
+    baseline JPEG, so this is a CONTAINER WALK with payload passthrough --
+    no decode, no transcode; the emitted rows are ordinary image/jpeg
+    media rows that feed the image half of the pipeline (resize_images,
+    media_exact_dedup, extract_features). MP4 rows are filtered out
+    JVM-side (frame access needs the ffmpeg-gated codec); malformed AVI
+    payloads are skipped (the 100TB posture -- one bad clip must not fail
+    the job).
+
+    every_k keeps every k-th frame; max_frames caps rows per clip (both
+    plan-time literals). frame_ts_ms comes from the real container fps.
+    """
+    from microdeduplication_spark.functions.avi import parse_avi
+
+    def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                try:
+                    meta = parse_avi(bytes(r.payload))
+                except ValueError:
+                    continue
+                frames = meta["frames"][::every_k]
+                if max_frames is not None:
+                    frames = frames[:max_frames]
+                ms_per = (1000.0 / meta["fps"]) if meta["fps"] else 0.0
+                rows.extend(
+                    (
+                        r.media_id, j, int(j * every_k * ms_per),
+                        "image/jpeg", f,
+                    )
+                    for j, f in enumerate(frames)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "frame_idx", "frame_ts_ms", "mime", "payload",
+                ],
+            )
+
+    return media.where(
+        F.col("mime") == "video/x-msvideo"
+    ).mapInPandas(op, schema=FRAME_SCHEMA)
+
+
 def resize_image_array(img: np.ndarray, tw: int, th: int) -> np.ndarray:
     """Nearest-neighbor resize of an (H, W, C) uint8 array, pure vectorized
     numpy (one fancy-index gather per axis, no Python pixel loop). Shared
