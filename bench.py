@@ -46,6 +46,34 @@ def _cpu_sec() -> float:
         return 0.0
 
 
+def _wait_for_quiet(max_wait: float = 150.0, window: float = 3.0,
+                    thresh: float = 0.05) -> float:
+    """Bounded pre-wait for a low-steal window before the measured run.
+
+    This VM sits on shared infrastructure whose interference arrives in
+    bursts (observed steal up to ~390% of wall, host-wide); a bench that
+    starts inside a burst produces numbers that only the telemetry block
+    can apologize for. Sampling /proc/stat for `window` seconds costs
+    nothing against a ~3-minute bench and, when a burst is active, waiting
+    up to `max_wait` for it to pass makes the artifact of record a clean
+    measurement instead of a flagged one. Returns the last observed
+    steal fraction (the run proceeds regardless once the budget is spent).
+    """
+    frac = 0.0
+    t0 = time.monotonic()
+    while True:
+        s0, w0 = _steal_sec(), time.monotonic()
+        time.sleep(window)
+        frac = (_steal_sec() - s0) / (time.monotonic() - w0)
+        if frac < thresh:
+            return frac
+        if time.monotonic() - t0 >= max_wait:
+            log(f"bench: steal still {frac:.2f} after {max_wait:.0f}s "
+                "pre-wait; proceeding (window flagged in telemetry)")
+            return frac
+        log(f"bench: steal burst ({frac:.2f}), waiting for quiet window...")
+
+
 def _sf_of(sf_dir: str) -> float:
     base = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -247,7 +275,24 @@ def deltas_vs_prev(timings: dict[str, float], key: str = "queries") -> dict:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    _wait_for_quiet()
     out = run(sf_dir, cpus)
+    # One retry if the measured window was burst-degraded anyway (steal
+    # landed mid-run): keep whichever attempt saw less interference and
+    # carry both telemetry blocks so the trade is auditable. steal_frac
+    # is host-wide steal / wall; >0.25 on this 32-cpu box means the run
+    # overlapped a burst (clean windows measure ~0.02).
+    if out["telemetry"]["steal_frac"] > 0.25:
+        log(f"bench: run overlapped a steal burst "
+            f"(steal_frac {out['telemetry']['steal_frac']}); retrying once")
+        first_telemetry = out["telemetry"]
+        _wait_for_quiet()
+        retry = run(sf_dir, cpus)
+        if retry["telemetry"]["steal_frac"] < first_telemetry["steal_frac"]:
+            out = retry
+        out["telemetry_discarded_attempt"] = (
+            first_telemetry if out is retry else retry["telemetry"]
+        )
     print(json.dumps(out), flush=True)
 
 
