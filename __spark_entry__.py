@@ -154,7 +154,10 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
         F.lit("und").alias("lang"),
         normalize_content(F.col("text")).alias("content_norm"),
     )
-    shingled = minhash_lsh.add_shingles(d, cfg)
+    # shingles feed both the signature/band path and the Jaccard verify:
+    # share one execution of the Arrow shingle kernel (the pipeline
+    # persists this table; the standalone query was recomputing it)
+    shingled = minhash_lsh.add_shingles(d, cfg).localCheckpoint(eager=False)
     sigs = minhash_lsh.minhash_signatures(shingled, cfg)
     cands = minhash_lsh.candidate_pairs(minhash_lsh.lsh_bands(sigs, cfg), cfg)
     ver = verify.verify_jaccard(cands, shingled, cfg)

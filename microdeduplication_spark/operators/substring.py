@@ -75,6 +75,9 @@ def verify_containment(
     """
     # semi-join reduction: filter the wide line-set table to candidate ids
     # before the pair joins (same plan shape as verify.verify_jaccard)
+    # compute-once for the 3 candidate consumers (ids union x2 + probe):
+    # see verify.verify_jaccard for the measured duplication this avoids
+    candidates = candidates.localCheckpoint(eager=False)
     ids = (
         candidates.select(F.col("a_id").alias("file_id"))
         .unionByName(candidates.select(F.col("b_id").alias("file_id")))
@@ -142,6 +145,9 @@ def substring_pairs_md5_family(
             F.lower(F.col(text_col)), F.lit("[a-z0-9]+"), 0
         ).alias("toks"),
     )
+    # tokenization feeds both the fingerprint path and the containment
+    # sets -- share one execution instead of re-scanning + re-tokenizing
+    lined = lined.localCheckpoint(eager=False)
     n = F.size(F.col("toks"))
     fps = (
         lined.select(

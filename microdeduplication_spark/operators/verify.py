@@ -41,6 +41,15 @@ def verify_jaccard(
     methods should be distinct-ed on (a_id,b_id) before calling to avoid
     verifying a pair twice.
     """
+    # `candidates` has THREE consumers here (both branches of the ids
+    # union + the probe side of the pair joins) and its lineage is the
+    # whole blocking pipeline when called standalone. Spark does not fuse
+    # those consumers: the broadcast-ids job executed the full band
+    # pipeline once and the probe side executed it AGAIN (stage-profiled:
+    # 2x the banded exchange per action). A lazy localCheckpoint pins the
+    # small pair table after its first materialization so the upstream
+    # computes once; pair rows are narrow, so the checkpoint is cheap.
+    candidates = candidates.localCheckpoint(eager=False)
     ids = (
         candidates.select(F.col("a_id").alias("file_id"))
         .unionByName(candidates.select(F.col("b_id").alias("file_id")))
