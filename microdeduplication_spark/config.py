@@ -37,6 +37,15 @@ class DedupConfig:
 
     # --- substring (windowed line-hash fingerprint) pass -----------------
     substr_window: int = 8       # consecutive normalized lines per fingerprint
+    # winnowing selection window (Schleimer/Wilkerson/Aiken, SIGMOD'03):
+    # keep only the MIN fingerprint of each run of `substr_winnow`
+    # consecutive window fingerprints. Density drops to ~2/(winnow+1) of
+    # the full stream while any shared run of
+    #     substr_window + substr_winnow - 1   (= 11 lines at defaults)
+    # consecutive normalized lines is still GUARANTEED to share a selected
+    # fingerprint (a full selection window fits inside the shared run, and
+    # min over identical contents picks identical values). 1 disables.
+    substr_winnow: int = 4
     containment_threshold: float = 0.6   # |A cap B| / min(|A|,|B|) on line sets
 
     # --- verification / clustering --------------------------------------

@@ -245,13 +245,22 @@ def make_shingles_udf(k: int):
     return shingles_udf
 
 
-def window_fp_batch(lines: pd.Series, w: int) -> pd.Series:
+def window_fp_batch(lines: pd.Series, w: int, winnow: int = 1) -> pd.Series:
     """Ordered line-hash arrays -> distinct window fingerprints per row.
 
     fingerprint(i) = sum_j coeff_j * splitmix64-domain line_hash[i+j]
     (uint64 wraparound polynomial) -- the numpy twin of the substring pass's
     windowing; w numpy ops over the whole line stream per row. Rows shorter
     than w fingerprint the whole array (same rule as the JVM variant).
+
+    winnow > 1 applies winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03)
+    over the fingerprint stream: a sliding MIN of width `winnow` (a
+    vectorized sliding_window_view, no Python loop over positions) before
+    the distinct. Two files sharing >= w + winnow - 1 consecutive lines
+    share a full selection window of identical fingerprints, so they still
+    share >= 1 selected value; emitted rows drop to ~2/(winnow+1) of the
+    full stream. Unsigned-domain min: the selection compares fingerprints
+    as uint64, deterministic across both sides of a pair.
     """
     coeffs = _shingle_coeffs(w + 1)  # +1: distinct family from shingle_k
     out = []
@@ -272,16 +281,24 @@ def window_fp_batch(lines: pd.Series, w: int) -> pd.Series:
                 comb = np.zeros(m, dtype=U64)
                 for j in range(w):
                     comb += a[j : j + m] * coeffs[j]
+            if winnow > 1:
+                if len(comb) <= winnow:
+                    comb = comb.min(keepdims=True)
+                else:
+                    comb = np.lib.stride_tricks.sliding_window_view(
+                        comb, winnow
+                    ).min(axis=1)
             out.append(np.unique(comb.view(np.int64)))
     return pd.Series(out)
 
 
-def make_window_fp_udf(w: int):
-    """pandas_udf: array<long> ordered line hashes -> array<long> window fps."""
+def make_window_fp_udf(w: int, winnow: int = 1):
+    """pandas_udf: array<long> ordered line hashes -> array<long> window fps
+    (winnow > 1: winnowing-selected subset, see window_fp_batch)."""
 
     @F.pandas_udf(T.ArrayType(T.LongType()))
     def window_fp_udf(lines: pd.Series) -> pd.Series:
-        return window_fp_batch(lines, w)
+        return window_fp_batch(lines, w, winnow)
 
     return window_fp_udf
 

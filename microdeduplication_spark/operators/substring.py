@@ -44,16 +44,26 @@ def line_hash_sets(reps: DataFrame) -> DataFrame:
 
 
 def window_fingerprints(lined: DataFrame, cfg: DedupConfig) -> DataFrame:
-    """(file_id, band_idx=0, band_hash=fingerprint) one row per distinct window.
+    """(file_id, band_idx=0, band_hash=fingerprint) per winnow-selected window.
 
     Shaped like an LSH band table so banded_self_join is reusable verbatim.
     Fingerprints computed in the Arrow/numpy path (functions/hashing.py
     window_fp_batch): the Catalyst transform-lambda variant evaluates
     interpreted per window and dominated the whole pipeline's wall time.
+
+    cfg.substr_winnow > 1 winnows the stream before the explode: only the
+    min of each run of `substr_winnow` consecutive fingerprints is kept,
+    cutting the exploded row count (and the banded join's exchange + window
+    sort, the single longest e2e pole at 7.9M rows / 50k files) to
+    ~2/(winnow+1) of the full stream. The detection contract weakens from
+    "any shared substr_window-line run" to "any shared run of
+    substr_window + substr_winnow - 1 lines" (11 at defaults) -- see
+    config.substr_winnow. Containment verification is unchanged; the
+    DuckDB-exact md5 twin (substring_pairs_md5_family) keeps every window.
     """
     from microdeduplication_spark.functions.hashing import make_window_fp_udf
 
-    fp = make_window_fp_udf(cfg.substr_window)
+    fp = make_window_fp_udf(cfg.substr_window, cfg.substr_winnow)
     return lined.select(
         "file_id", F.explode(fp(F.col("lines"))).alias("band_hash")
     ).withColumn("band_idx", F.lit(0))

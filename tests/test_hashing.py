@@ -244,3 +244,40 @@ def test_md5_simhash_matches_hashlib_oracle(spark):
 
     want = {i: oracle(t) for i, t in docs if t}
     assert got == want
+
+
+def test_window_fp_winnowing_guarantee_and_density():
+    """Winnowing (SWA'03): shared run of w+winnow-1 lines ALWAYS shares a
+    selected fingerprint; density ~2/(winnow+1); winnowed set is a subset
+    of the full fingerprint set; short/empty rows keep the n<w rule."""
+    from microdeduplication_spark.functions.hashing import window_fp_batch
+
+    rng = np.random.default_rng(7)
+    w, winnow = 8, 4
+    for _ in range(100):
+        shared = rng.integers(-(2**62), 2**62, w + winnow - 1)
+        a = np.concatenate(
+            [rng.integers(-(2**62), 2**62, rng.integers(0, 40)), shared,
+             rng.integers(-(2**62), 2**62, rng.integers(0, 40))]
+        )
+        b = np.concatenate(
+            [rng.integers(-(2**62), 2**62, rng.integers(0, 40)), shared,
+             rng.integers(-(2**62), 2**62, rng.integers(0, 40))]
+        )
+        fa, fb = window_fp_batch(pd.Series([a, b]), w, winnow)
+        assert np.intersect1d(fa, fb).size > 0
+
+    lines = pd.Series([rng.integers(-(2**62), 2**62, 150) for _ in range(100)])
+    full = window_fp_batch(lines, w, 1)
+    sel = window_fp_batch(lines, w, winnow)
+    n_full = sum(len(x) for x in full)
+    n_sel = sum(len(x) for x in sel)
+    assert 0.25 < n_sel / n_full < 0.55  # ~2/(winnow+1) = 0.4
+    for f, s in zip(full, sel):
+        assert np.setdiff1d(s, f).size == 0  # selection, not new values
+
+    short = window_fp_batch(
+        pd.Series([np.array([], dtype=np.int64), np.arange(3), np.arange(8)]),
+        w, winnow,
+    )
+    assert [len(x) for x in short] == [0, 1, 1]
