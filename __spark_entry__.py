@@ -166,6 +166,50 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_incremental_dedup_clusters(spark, sf_dir) -> DataFrame:
+    """Incremental dedup (operators/incremental_dedup.py): index 4/5 of the
+    documents corpus, dedup the held-out 1/5 as a batch against the persisted
+    signature index (sha join for known content, broadcast banded cross-join
+    for near-dup candidates), read the merged remap-resolved partition back,
+    relabel every cluster by its min doc_id. Equals the ONE-SHOT partition,
+    which the oracle computes directly: connected components (recursive CTE
+    min-label propagation) over brute-force 3-gram Jaccard>=0.5 edges --
+    docs with identical normalized text have identical shingle sets (J=1),
+    so the exact layer is subsumed by the Jaccard edges. The index is
+    written to a per-call tempdir that the returned DataFrame reads lazily
+    (left for /tmp cleanup; deleting it here would break the caller's
+    collect)."""
+    import tempfile
+
+    from microdeduplication_spark.operators.incremental_dedup import (
+        dedup_increment,
+        init_index,
+        read_clusters,
+    )
+
+    cfg = DOCS_CFG
+    files = _docs(spark, sf_dir).select(
+        F.lit("corpus").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.lit("0").alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    batch = F.col("path").cast("long") % 5 == 0
+    idx = tempfile.mkdtemp(prefix="incr_idx_")
+    init_index(spark, files.where(~batch), cfg, idx, passes=("minhash",))
+    dedup_increment(spark, files.where(batch), cfg, idx, passes=("minhash",))
+    ids = files.select(
+        F.xxhash64("repo", "path", "commit").alias("file_id"),
+        F.col("path").cast("long").alias("doc_id"),
+    )
+    labeled = read_clusters(spark, idx).join(ids, "file_id")
+    labels = labeled.groupBy("cluster_id").agg(F.min("doc_id").alias("cid"))
+    return labeled.join(labels, "cluster_id").select(
+        "doc_id", F.col("cid").alias("cluster_id")
+    )
+
+
 def q_snm_window_pairs(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood pairs (reference parity, SURVEY.md W1/W2):
     order by (n_chars, doc_id), compare each doc to its 2 successors."""
@@ -896,6 +940,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_stats_by_lang": q_dedup_stats_by_lang,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "incremental_dedup_clusters": q_incremental_dedup_clusters,
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -944,6 +989,37 @@ SELECT a.doc_id AS a_id, b.doc_id AS b_id,
 FROM t a JOIN t b ON a.doc_id < b.doc_id
 WHERE round(len(list_intersect(a.g, b.g))::DOUBLE /
             (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) >= 0.5
+"""
+
+# One-shot cluster partition the incremental run must reproduce: CC via
+# min-label propagation (recursive CTE; a component's min doc_id reaches
+# every member because each step extends a path by one undirected edge)
+# over the same brute-force 3-gram Jaccard>=0.5 edges as _NGRAM_ORACLE.
+# Unrounded threshold -- it replays verify_jaccard's filter (verify.py:80),
+# not the rounded report column. Exact-duplicate docs are J=1 edges, so the
+# sha layer needs no separate edge set.
+_INCREMENTAL_CLUSTERS_ORACLE = """
+WITH RECURSIVE g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+2], ' ')
+                        for i in range(1, len(toks) - 1)]) AS g
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3
+),
+e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM g a JOIN g b ON a.doc_id <> b.doc_id
+  WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
+),
+cc(doc_id, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, c.lbl FROM cc c JOIN e ON e.src = c.doc_id
+  WHERE c.lbl < e.dst
+)
+SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
 """
 
 
@@ -1299,6 +1375,7 @@ def oracle_sql() -> dict[str, str]:
         # minhash_lsh_pairs: with r=2/b=64 LSH recall at J>=0.5 is 1-1e-8, so
         # the brute-force oracle is exact (verified by the parity harness).
         "minhash_lsh_pairs": _NGRAM_ORACLE,
+        "incremental_dedup_clusters": _INCREMENTAL_CLUSTERS_ORACLE,
         "snm_window_pairs": """
             WITH l AS (
               SELECT doc_id AS a,
