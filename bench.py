@@ -277,22 +277,29 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     _wait_for_quiet()
     out = run(sf_dir, cpus)
-    # One retry if the measured window was burst-degraded anyway (steal
-    # landed mid-run): keep whichever attempt saw less interference and
-    # carry both telemetry blocks so the trade is auditable. steal_frac
-    # is host-wide steal / wall; >0.25 on this 32-cpu box means the run
-    # overlapped a burst (clean windows measure ~0.02).
-    if out["telemetry"]["steal_frac"] > 0.25:
-        log(f"bench: run overlapped a steal burst "
-            f"(steal_frac {out['telemetry']['steal_frac']}); retrying once")
-        first_telemetry = out["telemetry"]
-        _wait_for_quiet()
-        retry = run(sf_dir, cpus)
-        if retry["telemetry"]["steal_frac"] < first_telemetry["steal_frac"]:
-            out = retry
-        out["telemetry_discarded_attempt"] = (
-            first_telemetry if out is retry else retry["telemetry"]
-        )
+    # Up to two retries if the measured window was burst-degraded anyway
+    # (steal landed mid-run): keep whichever attempt saw the least
+    # interference and carry every discarded telemetry block so the trade
+    # is auditable. steal_frac is host-wide steal / wall; >0.25 on this
+    # 32-cpu box means the run overlapped a burst (clean windows measure
+    # ~0.02). Sustained-noise hours burned both attempts of the old
+    # single-retry policy; the longer retry pre-wait + third attempt ride
+    # out the observed burst trains.
+    discarded: list[dict] = []
+    for attempt in (1, 2):
+        if out["telemetry"]["steal_frac"] <= 0.25:
+            break
+        log(f"bench: run overlapped a steal burst (steal_frac "
+            f"{out['telemetry']['steal_frac']}); retry {attempt}/2")
+        _wait_for_quiet(max_wait=240.0)
+        nxt = run(sf_dir, cpus)
+        if nxt["telemetry"]["steal_frac"] < out["telemetry"]["steal_frac"]:
+            discarded.append(out["telemetry"])
+            out = nxt
+        else:
+            discarded.append(nxt["telemetry"])
+    if discarded:
+        out["telemetry_discarded_attempts"] = discarded
     print(json.dumps(out), flush=True)
 
 

@@ -40,9 +40,11 @@ Scale design (10^12-file corpus, 10^7-10^9-file daily batch):
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
+import shutil
 from dataclasses import asdict
 
 from pyspark.sql import DataFrame, SparkSession
@@ -176,11 +178,83 @@ def _apply_remap(spark: SparkSession, df: DataFrame,
 
 def read_clusters(spark: SparkSession, index_dir: str) -> DataFrame:
     """(file_id, cluster_id) for the whole indexed corpus, merges resolved."""
+    _recover_index(index_dir)
     members = spark.read.parquet(os.path.join(index_dir, "members"))
     return _apply_remap(
         spark, members.select("file_id", "cluster_id"),
         _resolve_remap(spark, index_dir),
     )
+
+
+def _recover_index(index_dir: str) -> None:
+    """Roll any half-finished checkpoint_index table swap forward/back
+    (same crash-window protocol as the streaming sink's compaction,
+    streaming/incremental.py:255). Cheap -- two globs when idle."""
+    for old in glob.glob(os.path.join(index_dir, "*.compact_old")):
+        live = old[: -len(".compact_old")]
+        tmp = live + ".compact_tmp"
+        if os.path.exists(live):        # crashed after step 3: finish delete
+            shutil.rmtree(old)
+        elif os.path.exists(tmp):       # crashed between 2 and 3: roll fwd
+            os.rename(tmp, live)
+            shutil.rmtree(old)
+        else:                           # tmp lost: roll back to the old data
+            os.rename(old, live)
+    for tmp in glob.glob(os.path.join(index_dir, "*.compact_tmp")):
+        if os.path.exists(tmp[: -len(".compact_tmp")]):
+            shutil.rmtree(tmp)          # crashed before step 2: stale tmp
+
+
+def _swap_table(index_dir: str, table: str, write_tmp) -> None:
+    """Atomically replace an index table dir via the 4-step rename protocol:
+    write tmp (old data stays live) -> live->old -> tmp->live -> delete old.
+    Each rename is atomic on one filesystem; _recover_index converges every
+    crash window."""
+    live = os.path.join(index_dir, table)
+    tmp, old = live + ".compact_tmp", live + ".compact_old"
+    write_tmp(tmp)                       # step 1
+    os.rename(live, old)                 # step 2
+    os.rename(tmp, live)                 # step 3
+    shutil.rmtree(old)                   # step 4
+
+
+def checkpoint_index(spark: SparkSession, index_dir: str,
+                     n_partitions: int = 8) -> None:
+    """Compact the index: fold the remap log into members/ and rewrite both
+    row tables with `n_partitions` files each.
+
+    Appends grow two things without bound: per-increment small parquet files
+    in members/ and reps/ (the 100 TB killer -- a year of daily increments
+    is ~365x the file count per table) and the remap merge log, whose
+    read-time driver fold grows with every bridge batch. Checkpointing
+    rewrites members with RESOLVED cluster ids, coalesces reps, then resets
+    remap to empty. Size n_partitions so each output file is ~128-512 MB at
+    the deployment's corpus size.
+
+    Crash-safe and idempotent under the single-writer assumption (one
+    increment/checkpoint at a time): tables swap via _swap_table and remap
+    clears LAST, so a crash anywhere leaves reads correct -- remap ids map
+    strictly downward (a merge's new id is the CC min, always below the old
+    id), so the chain is acyclic and re-applying remap to already-resolved
+    members is a no-op."""
+    _recover_index(index_dir)
+    remap = _resolve_remap(spark, index_dir)
+
+    # the tmp write (step 1) runs while the live dir is still in place, so
+    # each rewrite streams source -> tmp with no interim materialization
+    members = _apply_remap(
+        spark, spark.read.parquet(os.path.join(index_dir, "members")), remap
+    ).repartition(n_partitions)
+    _swap_table(index_dir, "members",
+                lambda tmp: members.write.parquet(tmp))
+
+    reps = spark.read.parquet(os.path.join(index_dir, "reps")) \
+        .repartition(n_partitions)
+    _swap_table(index_dir, "reps", lambda tmp: reps.write.parquet(tmp))
+
+    spark.createDataFrame(
+        [], "old_cluster_id long, new_cluster_id long"
+    ).write.mode("overwrite").parquet(os.path.join(index_dir, "remap"))
 
 
 def _banded_cross_join(new_bands: DataFrame, old_bands: DataFrame,
@@ -227,6 +301,7 @@ def dedup_increment(
     Cluster ids returned are fully resolved (post-merge); a bridge file
     that merges two existing clusters appends the merge to remap/."""
     _check_manifest(index_dir, cfg, passes)
+    _recover_index(index_dir)
 
     members = spark.read.parquet(os.path.join(index_dir, "members"))
     reps_idx = spark.read.parquet(os.path.join(index_dir, "reps"))

@@ -132,3 +132,78 @@ def test_cfg_mismatch_refused(spark, cfg, corpus, tmp_path):
     other = DedupConfig(jaccard_threshold=0.9)
     with pytest.raises(ValueError, match="cfg_hash"):
         dedup_increment(spark, files, other, idx)
+
+
+def test_checkpoint_folds_remap_and_preserves_partition(spark, cfg, tmp_path):
+    """checkpoint_index folds the merge log into members, coalesces both row
+    tables to n_partitions files, and changes NOTHING observable; increments
+    keep working afterwards."""
+    from microdeduplication_spark.operators.incremental_dedup import (
+        checkpoint_index,
+    )
+
+    lines_x = "\n".join(f"alpha line {i} uniqX" for i in range(40))
+    lines_y = "\n".join(f"beta line {i} uniqY" for i in range(40))
+    schema = "repo string, path string, commit string, lang string, content string"
+    idx = str(tmp_path / "idx")
+    init_index(spark, spark.createDataFrame(
+        [("r", "x1.py", "c", "py", lines_x), ("r", "x2.py", "c", "py", lines_x),
+         ("r", "y1.py", "c", "py", lines_y), ("r", "y2.py", "c", "py", lines_y)],
+        schema), cfg, idx)
+    dedup_increment(spark, spark.createDataFrame(
+        [("r", "z.py", "c", "py", lines_x + "\n" + lines_y)], schema), cfg, idx)
+    before = _partition(read_clusters(spark, idx))
+    assert spark.read.parquet(os.path.join(idx, "remap")).count() >= 1
+
+    checkpoint_index(spark, idx, n_partitions=2)
+    assert _partition(read_clusters(spark, idx)) == before
+    assert spark.read.parquet(os.path.join(idx, "remap")).count() == 0
+    import glob as _g
+    assert len(_g.glob(os.path.join(idx, "members", "*.parquet"))) == 2
+    assert len(_g.glob(os.path.join(idx, "reps", "*.parquet"))) == 2
+
+    # checkpoint is idempotent and the index still accepts increments
+    checkpoint_index(spark, idx, n_partitions=2)
+    assert _partition(read_clusters(spark, idx)) == before
+    dedup_increment(spark, spark.createDataFrame(
+        [("r", "w.py", "c", "py", lines_x)], schema), cfg, idx)
+    parts = _partition(read_clusters(spark, idx))
+    assert len(parts) == 1 and len(next(iter(parts))) == 6
+
+
+def test_checkpoint_crash_windows_recover(spark, cfg, corpus, tmp_path):
+    """Every crash window of the 4-step table swap converges to a correct
+    index at the next read/increment (mirrors the streaming compactor's
+    recovery contract)."""
+    import shutil as _sh
+
+    from microdeduplication_spark.operators.incremental_dedup import (
+        checkpoint_index,
+    )
+
+    files = files_spark_df(spark, corpus).limit(60)
+    idx = str(tmp_path / "idx")
+    init_index(spark, files, cfg, idx)
+    checkpoint_index(spark, idx, n_partitions=2)
+    want = _partition(read_clusters(spark, idx))
+    live = os.path.join(idx, "members")
+
+    # crash before step 2: stale tmp beside live -> dropped
+    _sh.copytree(live, live + ".compact_tmp")
+    assert _partition(read_clusters(spark, idx)) == want
+    assert not os.path.exists(live + ".compact_tmp")
+
+    # crash between steps 2 and 3: live renamed away, tmp complete -> forward
+    os.rename(live, live + ".compact_old")
+    _sh.copytree(live + ".compact_old", live + ".compact_tmp")
+    assert _partition(read_clusters(spark, idx)) == want
+    assert os.path.exists(live) and not os.path.exists(live + ".compact_old")
+
+    # crash after step 3 (old not yet deleted) -> old dropped
+    _sh.copytree(live, live + ".compact_old")
+    assert _partition(read_clusters(spark, idx)) == want
+    assert not os.path.exists(live + ".compact_old")
+
+    # tmp lost mid-write (only old remains) -> rolled back
+    os.rename(live, live + ".compact_old")
+    assert _partition(read_clusters(spark, idx)) == want
