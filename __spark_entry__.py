@@ -210,6 +210,21 @@ def q_incremental_dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_decontamination_hits(spark, sf_dir) -> DataFrame:
+    """Benchmark decontamination (operators/decontaminate.py): flag every
+    corpus doc sharing a token 8-gram with the eval slice (doc_id % 17 == 0
+    stands in for a benchmark), n_hit = its distinct shared grams. Plan:
+    map-side n-gram explode filtered by a broadcast join against the
+    distinct eval grams -- the only exchange is the groupBy over HIT rows."""
+    from microdeduplication_spark.operators.decontaminate import (
+        contamination_hits,
+    )
+
+    d = _docs(spark, sf_dir)
+    ev = d.where(F.col("doc_id") % 17 == 0).select("text")
+    return contamination_hits(d, ev, n=8)
+
+
 def q_snm_window_pairs(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood pairs (reference parity, SURVEY.md W1/W2):
     order by (n_chars, doc_id), compare each doc to its 2 successors."""
@@ -941,6 +956,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup_clusters": q_incremental_dedup_clusters,
+        "decontamination_hits": q_decontamination_hits,
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1020,6 +1036,29 @@ cc(doc_id, lbl) AS (
   WHERE c.lbl < e.dst
 )
 SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
+"""
+
+
+# Decontamination twin: same tokenizer, string 8-grams instead of xxhash64
+# gram hashes (equivalent modulo 64-bit collisions, the standing oracle
+# assumption). g carries DISTINCT grams per doc, ev distinct grams over the
+# eval slice, so count(*) after the join counts distinct shared grams.
+_DECONTAMINATION_ORACLE = """
+WITH g AS (
+  SELECT doc_id,
+         list_distinct([array_to_string(toks[i:i+7], ' ')
+                        for i in range(1, len(toks) - 6)]) AS grams
+  FROM (SELECT doc_id, regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+        FROM documents)
+  WHERE len(toks) >= 8
+),
+ev AS (
+  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 17 = 0
+)
+SELECT d.doc_id, count(*) AS n_hit
+FROM (SELECT doc_id, unnest(grams) AS gram FROM g) d
+JOIN ev USING (gram)
+GROUP BY d.doc_id
 """
 
 
@@ -1376,6 +1415,7 @@ def oracle_sql() -> dict[str, str]:
         # the brute-force oracle is exact (verified by the parity harness).
         "minhash_lsh_pairs": _NGRAM_ORACLE,
         "incremental_dedup_clusters": _INCREMENTAL_CLUSTERS_ORACLE,
+        "decontamination_hits": _DECONTAMINATION_ORACLE,
         "snm_window_pairs": """
             WITH l AS (
               SELECT doc_id AS a,
