@@ -225,6 +225,20 @@ def q_decontamination_hits(spark, sf_dir) -> DataFrame:
     return contamination_hits(d, ev, n=8)
 
 
+def q_stratified_sample(spark, sf_dir) -> DataFrame:
+    """Deterministic hash-based training-mix sampling
+    (operators/sampling.py): keep 50% of en, 30% of zh, 25% of de, 10% of
+    every other stratum -- membership is a pure function of doc_id (md5-32
+    bucket), so the oracle replays the predicate verbatim in SQL. The plan
+    is a map-side filter with zero exchanges (pinned in test_sampling)."""
+    from microdeduplication_spark.operators.sampling import stratified_sample
+
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    return stratified_sample(
+        d, {"en": 0.5, "zh": 0.3, "de": 0.25}, default_fraction=0.1
+    )
+
+
 def q_snm_window_pairs(spark, sf_dir) -> DataFrame:
     """Sorted-neighborhood pairs (reference parity, SURVEY.md W1/W2):
     order by (n_chars, doc_id), compare each doc to its 2 successors."""
@@ -957,6 +971,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "incremental_dedup_clusters": q_incremental_dedup_clusters,
         "decontamination_hits": q_decontamination_hits,
+        "stratified_sample": q_stratified_sample,
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1416,6 +1431,15 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _NGRAM_ORACLE,
         "incremental_dedup_clusters": _INCREMENTAL_CLUSTERS_ORACLE,
         "decontamination_hits": _DECONTAMINATION_ORACLE,
+        # verbatim replay of the sampling predicate: the md5-32 bucket is
+        # the same cross-engine hash family doc_fingerprints proves exact
+        "stratified_sample": """
+            SELECT doc_id, lang FROM documents
+            WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % 1000000 <
+                  CASE lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 300000
+                            WHEN 'de' THEN 250000 ELSE 100000 END
+        """,
         "snm_window_pairs": """
             WITH l AS (
               SELECT doc_id AS a,
