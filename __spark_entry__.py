@@ -225,6 +225,45 @@ def q_decontamination_hits(spark, sf_dir) -> DataFrame:
     return contamination_hits(d, ev, n=8)
 
 
+def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
+    """Quality-aware keep policy: per NEAR-duplicATE cluster (minhash
+    J>=0.5 pairs -> connected components), keep the HIGHEST-quality member
+    (tie -> min doc_id) instead of the arbitrary min-id representative --
+    what a training pipeline actually wants when duplicates differ in
+    extraction quality. The selection is ONE aggregation: max_by over a
+    (quality, -doc_id) struct rides the same partial-agg shuffle as the
+    group stats; no window sort, no second exchange."""
+    from microdeduplication_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = q_minhash_lsh_pairs(spark, sf_dir)
+    assign = connected_components(
+        pairs.select(F.col("a_id").alias("src"), F.col("b_id").alias("dst"))
+    )
+    d = _docs(spark, sf_dir).select(
+        F.col("doc_id").alias("file_id"),
+        F.round(ts.quality_score(F.col("text")), 6).alias("quality"),
+    )
+    member = d.join(assign, "file_id", "left").select(
+        F.col("file_id").alias("doc_id"),
+        F.coalesce("cluster_id", "file_id").alias("cluster_id"),
+        "quality",
+    )
+    return member.groupBy("cluster_id").agg(
+        F.max_by(
+            F.struct("doc_id", "quality"),
+            F.struct(F.col("quality"), (-F.col("doc_id")).alias("neg")),
+        ).alias("best"),
+        F.count("*").alias("group_size"),
+    ).select(
+        "cluster_id",
+        F.col("best.doc_id").alias("kept_doc_id"),
+        F.col("best.quality").alias("quality"),
+        "group_size",
+    )
+
+
 def q_stratified_sample(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based training-mix sampling
     (operators/sampling.py): keep 50% of en, 30% of zh, 25% of de, 10% of
@@ -972,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_clusters": q_incremental_dedup_clusters,
         "decontamination_hits": q_decontamination_hits,
         "stratified_sample": q_stratified_sample,
+        "dedup_keep_best": q_dedup_keep_best,
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
         "simhash_hamming_pairs": q_simhash_hamming_pairs,
@@ -1431,6 +1471,72 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_pairs": _NGRAM_ORACLE,
         "incremental_dedup_clusters": _INCREMENTAL_CLUSTERS_ORACLE,
         "decontamination_hits": _DECONTAMINATION_ORACLE,
+        # keep policy: near-dup clusters via the same recursive-CTE CC as
+        # incremental_dedup_clusters, quality via the same CTE chain as
+        # quality_scores; list(... ORDER BY quality DESC, doc_id)[1]
+        # replays max_by's (quality, -doc_id) struct order
+        "dedup_keep_best": r"""
+            WITH RECURSIVE gr AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+2], ' ')
+                                    for i in range(1, len(toks) - 1)]) AS g
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 3
+            ),
+            e AS (
+              SELECT a.doc_id AS src, b.doc_id AS dst
+              FROM gr a JOIN gr b ON a.doc_id <> b.doc_id
+              WHERE len(list_intersect(a.g, b.g))::DOUBLE /
+                    (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g)))
+                    >= 0.5
+            ),
+            cc(doc_id, lbl) AS (
+              SELECT doc_id, doc_id FROM documents
+              UNION
+              SELECT e.dst, c.lbl FROM cc c JOIN e ON e.src = c.doc_id
+              WHERE c.lbl < e.dst
+            ),
+            cl AS (
+              SELECT doc_id, min(lbl) AS cluster_id FROM cc GROUP BY doc_id
+            ), w AS (
+              SELECT doc_id, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, text,
+                     CASE WHEN len(toks) > 0 THEN
+                       list_sum([len(t) for t in toks])::DOUBLE / len(toks)
+                     ELSE 0.0 END AS mwl,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> t IN
+                         ('the','and','of','to','in','is','that','for','with')
+                       ))::DOUBLE / len(toks)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text,
+                         '[^\w\s]', '', 'g')))::DOUBLE / length(text)
+                     ELSE 0.0 END AS pr
+              FROM w
+            ), q AS (
+              SELECT doc_id, text, round((
+                       (CASE WHEN length(text) >= 200 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 6)
+                     AS quality
+              FROM m
+            )
+            SELECT cl.cluster_id,
+                   (list(q.doc_id ORDER BY quality DESC, q.doc_id ASC))[1]
+                     AS kept_doc_id,
+                   (list(quality ORDER BY quality DESC, q.doc_id ASC))[1]
+                     AS quality,
+                   count(*) AS group_size
+            FROM q JOIN cl ON q.doc_id = cl.doc_id
+            GROUP BY cl.cluster_id
+        """,
         # verbatim replay of the sampling predicate: the md5-32 bucket is
         # the same cross-engine hash family doc_fingerprints proves exact
         "stratified_sample": """
