@@ -215,14 +215,15 @@ def q_decontamination_hits(spark, sf_dir) -> DataFrame:
     corpus doc sharing a token 8-gram with the eval slice (doc_id % 17 == 0
     stands in for a benchmark), n_hit = its distinct shared grams. Plan:
     map-side n-gram explode filtered by a broadcast join against the
-    distinct eval grams -- the only exchange is the groupBy over HIT rows."""
+    distinct eval grams -- the only exchange is the groupBy over HIT rows.
+    The eval set is a corpus slice here, so the _within variant shares ONE
+    Arrow gram scan across both join sides (lazy localCheckpoint fork)."""
     from microdeduplication_spark.operators.decontaminate import (
-        contamination_hits,
+        contamination_hits_within,
     )
 
     d = _docs(spark, sf_dir)
-    ev = d.where(F.col("doc_id") % 17 == 0).select("text")
-    return contamination_hits(d, ev, n=8)
+    return contamination_hits_within(d, F.col("doc_id") % 17 == 0, n=8)
 
 
 def q_dedup_keep_best(spark, sf_dir) -> DataFrame:

@@ -176,6 +176,12 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "pricing_summary",
                 "revenue_by_mktsegment",
                 "user_sessions",
+                # r5 training-pipeline additions (cheap; incremental_dedup
+                # is excluded -- it re-runs a full pipeline and is covered
+                # by CORRECTNESS + tests, not the bench loop)
+                "decontamination_hits",
+                "stratified_sample",
+                "dedup_keep_best",
             ]
             qs = em.queries()
             for name in headline:

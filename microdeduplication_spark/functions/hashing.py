@@ -245,6 +245,49 @@ def make_shingles_udf(k: int):
     return shingles_udf
 
 
+def ngram_hash_batch(texts: pd.Series, n: int) -> pd.Series:
+    """Raw text -> sorted distinct int64 token n-gram hashes per row.
+
+    Same tokenizer/hash family as shingles_batch with ONE semantic change:
+    a doc with fewer than n tokens emits NO gram (empty array) instead of
+    the whole-doc fallback combo -- decontamination must not let a short
+    doc alias an n-gram of a longer one. Exists because the Catalyst-HOF
+    version of this expression evaluates interpreted (measured 25 s for
+    5k docs at sf0.1 vs ~0.5 s here)."""
+    findall = _token_re()
+    coeffs = _shingle_coeffs(n)
+    cache: dict[str, int] = {}
+    out = []
+    with np.errstate(over="ignore"):
+        for text in texts:
+            toks = findall(text) if text else []
+            n_toks = len(toks)
+            if n_toks < n:
+                out.append(np.empty(0, dtype=np.int64))
+                continue
+            ids = np.fromiter(
+                (cache.get(t) or cache.setdefault(t, _tok_hash(t))
+                 for t in toks),
+                dtype=U64, count=n_toks,
+            )
+            m = n_toks - n + 1
+            comb = np.zeros(m, dtype=U64)
+            for j in range(n):
+                comb += ids[j : j + m] * coeffs[j]
+            out.append(np.unique(comb.view(np.int64)))
+    return pd.Series(out)
+
+
+def make_ngram_udf(n: int):
+    """pandas_udf: raw text string -> array<long> token n-gram hashes."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def ngram_udf(text: pd.Series) -> pd.Series:
+        return ngram_hash_batch(text, n)
+
+    return ngram_udf
+
+
 def window_fp_batch(lines: pd.Series, w: int, winnow: int = 1) -> pd.Series:
     """Ordered line-hash arrays -> distinct window fingerprints per row.
 

@@ -7,11 +7,13 @@ contains an n-gram that also appears in a held-out benchmark is flagged so
 eval numbers measure generalization, not memorization.
 
 Scale design (100 TB corpus x ~10^5-10^7-gram eval set):
-- Pure JVM expressions end to end: tokens via split(), n-gram strings via
-  transform(sequence(...)) over a MATERIALIZED token column (HOF lambdas
-  re-evaluate non-attribute outer expressions per element -- the two-step
-  select is the same performance contract as functions/text.shingle_hashes),
-  xxhash64 per gram. No Python touches the corpus scan.
+- Gram hashing runs in the vectorized Arrow kernel family
+  (functions/hashing.ngram_hash_batch): the pure-Catalyst HOF version
+  (transform(sequence(...)) with xxhash64 per element) evaluates
+  INTERPRETED and measured 25 s for 5k sf0.1 docs vs ~0.5 s for the Arrow
+  kernel -- the same 20x gap that put shingling on Arrow. The kernel's
+  tokenizer is the oracle's regex ([A-Za-z0-9_]+ on raw text) and a doc
+  with fewer than n tokens emits NO gram (no whole-doc fallback).
 - The corpus side explodes to (doc_id, gram_hash) but the explode is
   pipelined into the scan and immediately filtered by a BROADCAST semi/hash
   join against the (distinct, small) eval gram set: non-matching grams die
@@ -25,28 +27,8 @@ Scale design (100 TB corpus x ~10^5-10^7-gram eval set):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-
-from microdeduplication_spark.functions.text import tokens
-
-
-def _gram_hashes(toks: Column, n: int) -> Column:
-    """array<long> of xxhash64 over space-joined token n-grams (distinct).
-
-    `toks` must be a MATERIALIZED token-array column (an attribute), not an
-    inline expression -- see module docstring."""
-    # guard, don't clamp: sequence(1, 0) yields a DESCENDING [1, 0], so a
-    # sub-n-token doc would emit spurious whole-doc "grams"
-    return F.when(
-        F.size(toks) >= n,
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
-                lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i, n))),
-            )
-        ),
-    ).otherwise(F.expr("array()").cast("array<long>"))
 
 
 def ngram_hash_sets(
@@ -55,12 +37,12 @@ def ngram_hash_sets(
     """(id, grams: array<long>) -- distinct hashed token n-grams per doc.
 
     Docs with fewer than n tokens have no n-gram (empty array), matching
-    the SQL-oracle semantics."""
-    toks = df.select(
-        F.col(id_col).alias("_id"), tokens(F.col(text_col)).alias("_toks")
-    )
-    return toks.select(
-        F.col("_id").alias(id_col), _gram_hashes(F.col("_toks"), n).alias("grams")
+    the SQL-oracle semantics. Arrow kernel, not Catalyst HOFs -- see the
+    module docstring for the measured 20x."""
+    from microdeduplication_spark.functions.hashing import make_ngram_udf
+
+    return df.select(
+        id_col, make_ngram_udf(n)(F.col(text_col)).alias("grams")
     )
 
 
@@ -86,6 +68,35 @@ def contamination_hits(
     doc_grams = ngram_hash_sets(docs, n, id_col, text_col).select(
         id_col, F.explode("grams").alias("g")
     )
+    return (
+        doc_grams.join(F.broadcast(eval_grams), "g")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hit"))
+    )
+
+
+def contamination_hits_within(
+    docs: DataFrame,
+    eval_pred,
+    n: int = 13,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """contamination_hits when the eval set IS a corpus slice (a holdout
+    split): one gram scan feeds both join sides via a lazy localCheckpoint
+    (a union/join fork of filtered branches re-executes the upstream scan
+    per branch otherwise -- the Arrow kernel would run twice)."""
+    from microdeduplication_spark.functions.hashing import make_ngram_udf
+
+    grams = docs.select(
+        id_col,
+        eval_pred.alias("_is_eval"),
+        make_ngram_udf(n)(F.col(text_col)).alias("grams"),
+    ).localCheckpoint(eager=False)
+    eval_grams = (
+        grams.where("_is_eval").select(F.explode("grams").alias("g")).distinct()
+    )
+    doc_grams = grams.select(id_col, F.explode("grams").alias("g"))
     return (
         doc_grams.join(F.broadcast(eval_grams), "g")
         .groupBy(id_col)

@@ -37,8 +37,9 @@ def test_contamination_flags_shared_ngrams_only(spark):
 
 
 def test_sub_n_docs_emit_no_grams(spark):
-    """sequence(1, 0) descends in Spark; the guard must yield [] (not a
-    spurious whole-doc gram) for docs with fewer than n tokens."""
+    """A doc with fewer than n tokens must emit NO gram -- the Arrow kernel
+    must not inherit shingles_batch's whole-doc fallback, and the Catalyst
+    alternative (sequence(1, 0) descends!) would emit spurious grams."""
     docs = _df(spark, [(1, "only three tokens"), (2, "a b c d e")])
     g = {r.doc_id: r.grams for r in ngram_hash_sets(docs, n=5).collect()}
     assert g[1] == []
@@ -67,3 +68,23 @@ def test_eval_join_is_broadcast_no_corpus_shuffle_before_filter(spark):
         .executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_within_variant_matches_two_table(spark):
+    """contamination_hits_within(docs, pred) == contamination_hits(docs,
+    docs.where(pred)) -- the shared-scan fork changes the plan, never the
+    answer."""
+    from microdeduplication_spark.operators.decontaminate import (
+        contamination_hits_within,
+    )
+
+    docs = _df(spark, [
+        (i, f"common prefix words here {i} alpha beta gamma delta epsilon")
+        for i in range(20)
+    ])
+    pred = F.col("doc_id") % 7 == 0
+    two = {(r.doc_id, r.n_hit) for r in contamination_hits(
+        docs, docs.where(pred).select("text"), n=5).collect()}
+    within = {(r.doc_id, r.n_hit) for r in contamination_hits_within(
+        docs, pred, n=5).collect()}
+    assert within == two and len(within) > 0
