@@ -34,7 +34,8 @@ Scale design (10^12-file corpus, 10^7-10^9-file daily batch):
   merge set. `read_clusters` is the resolved view.
 - Increments are idempotent: batch files already present in members/ are
   dropped up front (anti-join), so a crashed-and-retried increment cannot
-  double-count. Appends happen last; a crash mid-append is repaired by
+  double-count. Appends land reps -> remap -> members (members is the
+  idempotence marker, so it goes LAST); any crash window is repaired by
   re-running the same increment.
 """
 
@@ -72,6 +73,11 @@ def _cfg_hash(cfg: DedupConfig, passes: tuple[str, ...]) -> str:
 
 def _manifest_path(index_dir: str) -> str:
     return os.path.join(index_dir, "manifest.json")
+
+
+def _table_path(index_dir: str, table: str) -> str:
+    """Single seam for index table paths (tests inject crash points here)."""
+    return os.path.join(index_dir, table)
 
 
 def _check_manifest(index_dir: str, cfg: DedupConfig,
@@ -459,9 +465,19 @@ def dedup_increment(
     )
 
     # ---- append ---------------------------------------------------------
+    # ORDER MATTERS for crash safety: members is the idempotence marker
+    # (the up-front anti-join keys on it), so it must land LAST. A crash
+    # after an earlier append just re-runs: reps is guarded by its own
+    # anti-join (no duplicate signature rows), remap rows are deduped by
+    # _resolve_remap's dict fold, and the retry recomputes the same
+    # deterministic values. Were members written first (the original
+    # order), a crash before the reps append would make the retry a no-op
+    # and leave the index PERMANENTLY missing the batch's signatures.
+    feats_new.join(
+        reps_idx.select("file_id"), "file_id", "left_anti"
+    ).write.mode("append").parquet(_table_path(index_dir, "reps"))
+    merges.write.mode("append").parquet(_table_path(index_dir, "remap"))
     norm.select("file_id", "norm_sha").join(
         batch_clusters, "file_id"
-    ).write.mode("append").parquet(os.path.join(index_dir, "members"))
-    feats_new.write.mode("append").parquet(os.path.join(index_dir, "reps"))
-    merges.write.mode("append").parquet(os.path.join(index_dir, "remap"))
+    ).write.mode("append").parquet(_table_path(index_dir, "members"))
     return batch_clusters

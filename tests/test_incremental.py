@@ -207,3 +207,38 @@ def test_checkpoint_crash_windows_recover(spark, cfg, corpus, tmp_path):
     # tmp lost mid-write (only old remains) -> rolled back
     os.rename(live, live + ".compact_old")
     assert _partition(read_clusters(spark, idx)) == want
+
+
+def test_increment_crash_before_members_append_retries_clean(
+    spark, cfg, corpus, tmp_path, monkeypatch
+):
+    """Crash AFTER the reps/remap appends but BEFORE the members append
+    (the marker table, written last): the retry must converge to exactly
+    the clean result -- same partition, no duplicate reps rows."""
+    from microdeduplication_spark.operators import incremental_dedup as inc
+
+    files = files_spark_df(spark, corpus).withColumn("_r", F.xxhash64("path"))
+    part_a = files.where(F.col("_r") % 5 != 0).drop("_r")
+    part_b = files.where(F.col("_r") % 5 == 0).drop("_r")
+    idx = str(tmp_path / "idx")
+    init_index(spark, part_a, cfg, idx)
+
+    real = inc._table_path
+
+    def crash_on_members(index_dir, table):
+        if table == "members":
+            raise RuntimeError("injected crash before members append")
+        return real(index_dir, table)
+
+    monkeypatch.setattr(inc, "_table_path", crash_on_members)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        dedup_increment(spark, part_b, cfg, idx)
+    monkeypatch.setattr(inc, "_table_path", real)
+
+    # retry converges
+    dedup_increment(spark, part_b, cfg, idx)
+    got = _partition(read_clusters(spark, idx))
+    want = _partition(run_pipeline(spark, files.drop("_r"), cfg).clusters)
+    assert got == want
+    reps = spark.read.parquet(os.path.join(idx, "reps"))
+    assert reps.count() == reps.select("file_id").distinct().count()
