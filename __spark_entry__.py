@@ -265,6 +265,30 @@ def q_dedup_keep_best(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_corpus_mix_stats(spark, sf_dir) -> DataFrame:
+    """Per-language training-mix report: doc counts, token totals (both
+    tokenizer families), exact median length, mean quality -- the summary a
+    mixture-weighting pass reads before setting stratified_sample rates.
+    One partial-agg shuffle on lang; percentile() is the EXACT variant so
+    the oracle can replay it (quality values are multiples of 0.25, so the
+    avg is float-exact cross-engine)."""
+    d = _docs(spark, sf_dir)
+    ws = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"\S+"), 0))
+    sub = F.size(F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD), 0))
+    per = d.select(
+        "lang", "n_chars",
+        ws.cast("long").alias("ws"), sub.cast("long").alias("sub"),
+        F.round(ts.quality_score(F.col("text")), 6).alias("q"),
+    )
+    return per.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ws").alias("ws_tokens"),
+        F.sum("sub").alias("subword_tokens"),
+        F.expr("percentile(n_chars, 0.5)").alias("median_chars"),
+        F.avg("q").alias("mean_quality"),
+    )
+
+
 def q_stratified_sample(spark, sf_dir) -> DataFrame:
     """Deterministic hash-based training-mix sampling
     (operators/sampling.py): keep 50% of en, 30% of zh, 25% of de, 10% of
@@ -1012,6 +1036,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_clusters": q_incremental_dedup_clusters,
         "decontamination_hits": q_decontamination_hits,
         "stratified_sample": q_stratified_sample,
+        "corpus_mix_stats": q_corpus_mix_stats,
         "dedup_keep_best": q_dedup_keep_best,
         "snm_window_pairs": q_snm_window_pairs,
         "doc_fingerprints": q_doc_fingerprints,
@@ -1537,6 +1562,47 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS group_size
             FROM q JOIN cl ON q.doc_id = cl.doc_id
             GROUP BY cl.cluster_id
+        """,
+        # mix report: quantile_cont == Spark's exact percentile (both
+        # linear-interpolate over sorted values); quality is a multiple of
+        # 0.25 so sums/avgs are float-exact on both engines
+        "corpus_mix_stats": r"""
+            WITH w AS (
+              SELECT doc_id, lang, n_chars, text,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), m AS (
+              SELECT doc_id, lang, n_chars, text,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS ws,
+                     len(regexp_extract_all(text,
+                         '[A-Za-z0-9]+|[^A-Za-z0-9\s]'))::BIGINT AS sub,
+                     CASE WHEN len(toks) > 0 THEN
+                       list_sum([len(t) for t in toks])::DOUBLE / len(toks)
+                     ELSE 0.0 END AS mwl,
+                     CASE WHEN len(toks) > 0 THEN
+                       len(list_filter(toks, t -> t IN
+                         ('the','and','of','to','in','is','that','for','with')
+                       ))::DOUBLE / len(toks)
+                     ELSE 0.0 END AS swr,
+                     CASE WHEN length(text) > 0 THEN
+                       (length(text) - length(regexp_replace(text,
+                         '[^\w\s]', '', 'g')))::DOUBLE / length(text)
+                     ELSE 0.0 END AS pr
+              FROM w
+            ), q AS (
+              SELECT lang, n_chars, ws, sub, round((
+                       (CASE WHEN length(text) >= 200 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN mwl >= 3.0 AND mwl <= 10.0 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN swr >= 0.05 THEN 1.0 ELSE 0.0 END) +
+                       (CASE WHEN pr <= 0.2 THEN 1.0 ELSE 0.0 END)) / 4.0, 6)
+                     AS quality
+              FROM m
+            )
+            SELECT lang, count(*) AS n_docs, sum(ws) AS ws_tokens,
+                   sum(sub) AS subword_tokens,
+                   quantile_cont(n_chars, 0.5) AS median_chars,
+                   avg(quality) AS mean_quality
+            FROM q GROUP BY lang
         """,
         # verbatim replay of the sampling predicate: the md5-32 bucket is
         # the same cross-engine hash family doc_fingerprints proves exact
