@@ -188,7 +188,16 @@ def q_incremental_dedup_clusters(spark, sf_dir) -> DataFrame:
     )
 
     cfg = DOCS_CFG
-    files = _docs(spark, sf_dir).select(
+    files = _docs(spark, sf_dir).where(
+        # same short-file rule as q_minhash_lsh_pairs AND the oracle's gram
+        # CTE (len(toks) >= 3): sub-shingle docs get whole-token-list
+        # fallback shingles engine-side (two near-identical 2-token docs
+        # would cluster) while the oracle keeps them singletons; empty docs
+        # are dropped by ingest_normalize but seed the oracle's CC. Latent
+        # on the current corpora (no such docs) -- guarded anyway.
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_TOK), 0))
+        >= cfg.shingle_k
+    ).select(
         F.lit("corpus").alias("repo"),
         F.col("doc_id").cast("string").alias("path"),
         F.lit("0").alias("commit"),
@@ -1111,7 +1120,7 @@ e AS (
         (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) >= 0.5
 ),
 cc(doc_id, lbl) AS (
-  SELECT doc_id, doc_id FROM documents
+  SELECT doc_id, doc_id FROM g
   UNION
   SELECT e.dst, c.lbl FROM cc c JOIN e ON e.src = c.doc_id
   WHERE c.lbl < e.dst

@@ -205,8 +205,14 @@ def _shingle_coeffs(k: int) -> np.ndarray:
     return _SHINGLE_COEFFS[k]
 
 
-def shingles_batch(contents: pd.Series, k: int) -> pd.Series:
-    """Normalized text -> sorted distinct int64 shingle hashes per row."""
+def shingles_batch(contents: pd.Series, k: int,
+                   short_doc_fallback: bool = True) -> pd.Series:
+    """Normalized text -> sorted distinct int64 shingle hashes per row.
+
+    short_doc_fallback: a sub-k-token row hashes its whole token list as
+    one shingle (dedup semantics: two identical short files still match).
+    False gives the decontamination semantics -- no gram at all, so a
+    short doc can never alias an n-gram of a longer one."""
     findall = _token_re()
     coeffs = _shingle_coeffs(k)
     cache: dict[str, int] = {}
@@ -215,7 +221,7 @@ def shingles_batch(contents: pd.Series, k: int) -> pd.Series:
         for text in contents:
             toks = findall(text) if text else []
             n = len(toks)
-            if n == 0:
+            if n == 0 or (n < k and not short_doc_fallback):
                 out.append(np.empty(0, dtype=np.int64))
                 continue
             ids = np.fromiter(
@@ -246,36 +252,12 @@ def make_shingles_udf(k: int):
 
 
 def ngram_hash_batch(texts: pd.Series, n: int) -> pd.Series:
-    """Raw text -> sorted distinct int64 token n-gram hashes per row.
-
-    Same tokenizer/hash family as shingles_batch with ONE semantic change:
-    a doc with fewer than n tokens emits NO gram (empty array) instead of
-    the whole-doc fallback combo -- decontamination must not let a short
-    doc alias an n-gram of a longer one. Exists because the Catalyst-HOF
-    version of this expression evaluates interpreted (measured 25 s for
-    5k docs at sf0.1 vs ~0.5 s here)."""
-    findall = _token_re()
-    coeffs = _shingle_coeffs(n)
-    cache: dict[str, int] = {}
-    out = []
-    with np.errstate(over="ignore"):
-        for text in texts:
-            toks = findall(text) if text else []
-            n_toks = len(toks)
-            if n_toks < n:
-                out.append(np.empty(0, dtype=np.int64))
-                continue
-            ids = np.fromiter(
-                (cache.get(t) or cache.setdefault(t, _tok_hash(t))
-                 for t in toks),
-                dtype=U64, count=n_toks,
-            )
-            m = n_toks - n + 1
-            comb = np.zeros(m, dtype=U64)
-            for j in range(n):
-                comb += ids[j : j + m] * coeffs[j]
-            out.append(np.unique(comb.view(np.int64)))
-    return pd.Series(out)
+    """Raw text -> sorted distinct int64 token n-gram hashes per row:
+    shingles_batch WITHOUT the short-doc whole-list fallback (one shared
+    uint64 hashing loop, not two hand-synchronized copies). Exists because
+    the Catalyst-HOF version of this expression evaluates interpreted
+    (measured 25 s for 5k docs at sf0.1 vs ~0.5 s here)."""
+    return shingles_batch(texts, n, short_doc_fallback=False)
 
 
 def make_ngram_udf(n: int):

@@ -20,10 +20,14 @@ Scale design (10^12-file corpus, 10^7-10^9-file daily batch):
   expressions (xxhash64 over array slices / bit ops), so no UDF ever
   touches the index scan. Substring fingerprints (the one signature that
   needs the Arrow kernel) are precomputed into `fps` at index time.
-- Every batch<->index join is an equi-join keyed on band_hash / norm_sha
-  with the BATCH side broadcast when small (`broadcast_threshold`): the
-  index is scanned once, shuffle-free. Batch-internal pairs reuse
-  banded_self_join unchanged.
+- Near-dup candidates run the EXACT one-shot banded_self_join over only
+  the buckets the batch touches: the distinct new bucket keys semi-join
+  the old band scan map-side (broadcast when the counted key table is
+  under `broadcast_threshold` rows), and the combined members of affected
+  buckets flow through the one-shot operator -- same degenerate-bucket
+  drop and hot-bucket star policy at COMBINED occupancy, so an adversarial
+  hot batch can never expand an n_old x n_new cross product. The index is
+  scanned once per family; the shuffle is O(batch x occupancy).
 - Content seen before (norm_sha already indexed) attaches to its existing
   cluster by a sha join alone -- no signature is computed for it. The
   all-duplicates adversarial batch costs one hash join.
@@ -36,7 +40,11 @@ Scale design (10^12-file corpus, 10^7-10^9-file daily batch):
   dropped up front (anti-join), so a crashed-and-retried increment cannot
   double-count. Appends land reps -> remap -> members (members is the
   idempotence marker, so it goes LAST); any crash window is repaired by
-  re-running the same increment.
+  re-running the same increment. The contract is AT-LEAST-ONCE: a crashed
+  increment must eventually be retried, not abandoned -- a crash between
+  the remap and members appends leaves merge rows whose bridge file is not
+  yet a member (the retry lands it; the reverse append order would lose
+  the merges forever on retry, which is strictly worse).
 """
 
 from __future__ import annotations
@@ -127,6 +135,43 @@ def _rep_features(reps: DataFrame, cfg: DedupConfig,
     return feats
 
 
+def _features_from_result(res, cfg: DedupConfig,
+                          passes: tuple[str, ...]) -> DataFrame:
+    """Index rep features PROJECTED from the pipeline's own persisted
+    stages (shingled/signatures/lined) instead of re-running the Arrow
+    kernels over the whole corpus -- init_index previously paid the
+    dominant signature stage twice. Only the substring window fingerprints
+    are recomputed (from the persisted line hashes, skipping the line-hash
+    kernel). Falls back to _rep_features when a stage is missing."""
+    st = res.stages
+    if "shingled" not in st or (
+        ("minhash" in passes or "simhash" in passes)
+        and "signatures" not in st
+    ) or ("substring" in passes and "lined" not in st):
+        groups = exact_dedup.exact_groups(res.normalized)
+        reps = exact_dedup.representatives(res.normalized, groups)
+        return _rep_features(reps, cfg, passes)
+    feats = st["shingled"].select("file_id", "shingles")
+    if "minhash" in passes or "simhash" in passes:
+        sig_cols = ["file_id"]
+        if "minhash" in passes:
+            sig_cols.append("sig")
+        if "simhash" in passes:
+            sig_cols.append("sim")
+        feats = feats.join(st["signatures"].select(*sig_cols), "file_id")
+    if "substring" in passes:
+        from microdeduplication_spark.functions.hashing import (
+            make_window_fp_udf,
+        )
+
+        fp = make_window_fp_udf(cfg.substr_window, cfg.substr_winnow)
+        sub = st["lined"].select(
+            "file_id", fp(F.col("lines")).alias("fps"), "line_set"
+        )
+        feats = feats.join(sub, "file_id")
+    return feats
+
+
 def init_index(spark: SparkSession, files: DataFrame, cfg: DedupConfig,
                index_dir: str, passes: tuple[str, ...] = ALL_PASSES):
     """One-shot pipeline over the initial corpus + persist its signature
@@ -135,14 +180,12 @@ def init_index(spark: SparkSession, files: DataFrame, cfg: DedupConfig,
 
     res = run_pipeline(spark, files, cfg, passes=passes)
     norm = res.normalized
-    groups = exact_dedup.exact_groups(norm)
-    reps = exact_dedup.representatives(norm, groups)
 
     os.makedirs(index_dir, exist_ok=True)
     norm.join(res.clusters, "file_id").select(
         "file_id", "norm_sha", "cluster_id"
     ).write.mode("overwrite").parquet(os.path.join(index_dir, "members"))
-    _rep_features(reps, cfg, passes).write.mode("overwrite").parquet(
+    _features_from_result(res, cfg, passes).write.mode("overwrite").parquet(
         os.path.join(index_dir, "reps")
     )
     spark.createDataFrame(
@@ -258,39 +301,52 @@ def checkpoint_index(spark: SparkSession, index_dir: str,
         .repartition(n_partitions)
     _swap_table(index_dir, "reps", lambda tmp: reps.write.parquet(tmp))
 
-    spark.createDataFrame(
+    # the reset goes through the same atomic swap as the row tables: a
+    # plain overwrite deletes the live dir before the new commit lands, and
+    # a crash in that window leaves remap/ unreadable with nothing to roll
+    # it forward (the review's one unprotected window)
+    empty = spark.createDataFrame(
         [], "old_cluster_id long, new_cluster_id long"
-    ).write.mode("overwrite").parquet(os.path.join(index_dir, "remap"))
-
-
-def _banded_cross_join(new_bands: DataFrame, old_bands: DataFrame,
-                       cfg: DedupConfig, method: str,
-                       broadcast_new: bool) -> DataFrame:
-    """(new_id, old_id) pairs sharing a band bucket across the two tables.
-
-    Plan: one scan of the old band table, equi-joined on the bucket key
-    with the (broadcast when small) new side. Degenerate buckets are
-    dropped by OLD-side occupancy with the same bucket_drop bound as
-    banded_self_join -- the occupancy count is one aggregation over the
-    old band table, no content, no UDF."""
-    occ = old_bands.groupBy("band_idx", "band_hash").agg(
-        F.count("*").alias("_n")
-    ).where(F.col("_n") <= cfg.bucket_drop).drop("_n")
-    old = old_bands.join(occ, ["band_idx", "band_hash"], "left_semi").select(
-        F.col("band_idx"), F.col("band_hash"), F.col("file_id").alias("b_id")
     )
-    new = new_bands.select(
-        "band_idx", "band_hash", F.col("file_id").alias("a_id")
-    )
-    if broadcast_new:
-        new = F.broadcast(new)
-    return (
-        old.join(new, ["band_idx", "band_hash"])
-        .select("a_id", "b_id")
-        .where(F.col("a_id") != F.col("b_id"))
+    _swap_table(index_dir, "remap", lambda tmp: empty.write.parquet(tmp))
+
+
+def _affected_band_pairs(new_bands: DataFrame, old_bands: DataFrame,
+                         cfg: DedupConfig, method: str,
+                         broadcast_threshold: int) -> DataFrame:
+    """Candidate pairs for one signature family via the EXACT one-shot
+    banded_self_join over every bucket the batch touches: the new band rows
+    plus the old members of buckets containing >=1 new row. Untouched
+    buckets cannot gain pairs -- their occupancy is unchanged and their
+    pairs were generated when their rows were indexed.
+
+    Running the one-shot operator on the combined members reproduces its
+    full policy at COMBINED occupancy -- degenerate buckets (> bucket_drop)
+    dropped, hot buckets star-paired -- which keeps the one-shot
+    equivalence contract AND bounds an adversarial batch: a bucket shared
+    by n_old + n_new near-identical docs can never expand to an
+    n_old x n_new cross product. (A per-side occupancy cap, the previous
+    design, diverged on buckets that only exceed the cap combined.)
+
+    Plan: the distinct new bucket keys drive a left-semi join that filters
+    the old band scan map-side (broadcast when the counted KEY table -- not
+    a rep-count proxy -- is under the threshold; the derived band tables
+    are 32-1000x larger than the rep count, so rep count is the wrong
+    sizing input). Only affected old rows reach the self-join exchange, so
+    the shuffle stays O(batch x occupancy), never O(corpus)."""
+    keys = (
+        new_bands.select("band_idx", "band_hash")
         .distinct()
-        .withColumn("method", F.lit(method))
+        .localCheckpoint(eager=False)
     )
+    if keys.count() <= broadcast_threshold:
+        keys = F.broadcast(keys)
+    affected_old = old_bands.join(
+        keys, ["band_idx", "band_hash"], "left_semi"
+    )
+    cols = ["file_id", "band_idx", "band_hash"]
+    combined = new_bands.select(*cols).unionByName(affected_old.select(*cols))
+    return banded_self_join(combined, cfg, method=method)
 
 
 def dedup_increment(
@@ -344,8 +400,6 @@ def dedup_increment(
     )
     feats_new = _rep_features(reps_new, cfg, passes) \
         .localCheckpoint(eager=False)
-    n_new_reps = feats_new.count()
-    broadcast_new = n_new_reps <= broadcast_threshold
 
     near_cands: list[DataFrame] = []
     if "minhash" in passes:
@@ -353,17 +407,15 @@ def dedup_increment(
             feats_new.select("file_id", "sig"), cfg)
         bands_old = minhash_lsh.lsh_bands(
             reps_idx.select("file_id", "sig"), cfg)
-        near_cands.append(banded_self_join(bands_new, cfg, method="minhash"))
-        near_cands.append(_banded_cross_join(
-            bands_new, bands_old, cfg, "minhash", broadcast_new))
+        near_cands.append(_affected_band_pairs(
+            bands_new, bands_old, cfg, "minhash", broadcast_threshold))
     if "simhash" in passes:
         sims_new = feats_new.select("file_id", "sim")
         probes_new = simhash_op.simhash_bands(sims_new, cfg)
         probes_old = simhash_op.simhash_bands(
             reps_idx.select("file_id", "sim"), cfg)
-        ham_cands = banded_self_join(probes_new, cfg, method="simhash") \
-            .unionByName(_banded_cross_join(
-                probes_new, probes_old, cfg, "simhash", broadcast_new))
+        ham_cands = _affected_band_pairs(
+            probes_new, probes_old, cfg, "simhash", broadcast_threshold)
         # exact Hamming rescore, sims from whichever side owns the id
         all_sims = sims_new.unionByName(
             reps_idx.select("file_id", "sim")
@@ -386,9 +438,8 @@ def dedup_increment(
         fps_old = reps_idx.select(
             "file_id", F.explode("fps").alias("band_hash")
         ).withColumn("band_idx", F.lit(0))
-        sub_cands = banded_self_join(fps_new, cfg, method="substring") \
-            .unionByName(_banded_cross_join(
-                fps_new, fps_old, cfg, "substring", broadcast_new))
+        sub_cands = _affected_band_pairs(
+            fps_new, fps_old, cfg, "substring", broadcast_threshold)
 
     # ---- verification ---------------------------------------------------
     shingle_all = feats_new.select("file_id", "shingles").unionByName(

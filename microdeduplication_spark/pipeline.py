@@ -53,6 +53,12 @@ class PipelineResult:
     candidates: DataFrame          # (a_id, b_id, method)
     normalized: DataFrame          # ingest output
     metrics: list[dict] = field(default_factory=list)
+    # intermediate stage handles (persisted/checkpointed) so downstream
+    # consumers (incremental_dedup.init_index) can PROJECT per-rep features
+    # instead of re-running the Arrow kernels over the whole corpus:
+    # "shingled" (file_id, lang, shingles), "signatures" (file_id,[sig],[sim]),
+    # "lined" (substring pass input). Keys absent when the pass didn't run.
+    stages: dict = field(default_factory=dict)
 
 
 class _Checkpointer:
@@ -401,4 +407,13 @@ def run_pipeline(
         candidates=candidates,
         normalized=normalized,
         metrics=ck.metrics,
+        stages={
+            k: v
+            for k, v in (
+                ("shingled", shingled),
+                ("signatures", sigs),
+                ("lined", lined),
+            )
+            if v is not None
+        },
     )

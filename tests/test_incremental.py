@@ -111,9 +111,11 @@ def test_bridge_file_merges_old_clusters_via_remap(spark, cfg, tmp_path):
 
 def test_increment_is_idempotent(spark, cfg, corpus, tmp_path):
     """Re-running the same increment (crash/retry) changes nothing."""
-    files = files_spark_df(spark, corpus)
-    part_a = files.limit(150)
-    part_b = files.subtract(part_a)
+    # deterministic hash split -- limit() on an unordered frame may pick
+    # different rows per evaluation, making the "retry" a different batch
+    files = files_spark_df(spark, corpus).withColumn("_r", F.xxhash64("path"))
+    part_a = files.where(F.col("_r") % 3 != 0).drop("_r")
+    part_b = files.where(F.col("_r") % 3 == 0).drop("_r")
     idx = str(tmp_path / "idx")
     init_index(spark, part_a, cfg, idx)
     dedup_increment(spark, part_b, cfg, idx)
