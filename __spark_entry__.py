@@ -421,6 +421,50 @@ def q_lang_id(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark, sf_dir) -> DataFrame:
+    """Gopher-style repetition signals (operators/repetition.py): unigram
+    duplication fraction + most-frequent-2-gram char coverage with the
+    Gopher 0.20 drop threshold. Plan: one posexplode scan, one doc-keyed
+    lead() window, and one fused two-level aggregation tree riding the
+    window's exchange (zero joins, zero extra shuffles) -- no
+    token-granular HOF lambda, no Python."""
+    from microdeduplication_spark.operators.repetition import (
+        repetition_stats,
+    )
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+def q_pii_scrub(spark, sf_dir) -> DataFrame:
+    """PII detect + redact (functions/pii.py). The synthetic corpus holds
+    no PII, so the query overlays deterministic doc_id-derived PII (an
+    email, an IPv4, a phone) onto each text FIRST -- same overlay in the
+    oracle -- making the extraction/redaction path oracle-verified on 500+
+    distinct values rather than trivially on zeros. Pure codegen: concat +
+    regexp_extract_all + chained regexp_replace + md5, zero exchanges."""
+    from microdeduplication_spark.functions import pii
+
+    d = _docs(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com from 10."),
+        (F.col("doc_id") % 250).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 200).cast("string"),
+        F.lit(" call 415-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    return d.select(
+        "doc_id",
+        pii.email_count(aug).alias("n_emails"),
+        pii.ipv4_count(aug).alias("n_ips"),
+        pii.phone_count(aug).alias("n_phones"),
+        F.md5(pii.scrub_pii(aug)).alias("scrub_md5"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1055,6 +1099,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats": q_token_stats,
         "quality_scores": q_quality_scores,
         "lang_id": q_lang_id,
+        "repetition_stats": q_repetition_stats,
+        "pii_scrub": q_pii_scrub,
         "cosine_similar_pairs": q_cosine_similar_pairs,
         "knn_top3": q_knn_top3,
         "embedding_norms": q_embedding_norms,
@@ -1691,6 +1737,78 @@ def oracle_sql() -> dict[str, str]:
                         WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
                         ELSE 'es' END AS lang_guess
             FROM h
+        """,
+        # repetition_stats: the top-gram coverage maxes the count*chars
+        # PRODUCT (tie-free by construction); the `repetitive` flag is
+        # computed from the ROUNDED fractions on both engines. The O(n^2)
+        # list_filter per doc is oracle-only (docs are ~60 tokens at
+        # sf<=0.01); the Spark side is explode + window + partial aggs.
+        "repetition_stats": r"""
+            WITH w AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), g AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       [toks[i] || ' ' || toks[i+1]
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE [] END AS grams
+              FROM w
+            ), m AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct,
+                     COALESCE(list_sum([len(t) for t in toks]), 0)
+                       AS word_chars,
+                     CASE WHEN len(grams) > 0 THEN
+                       list_max([
+                         len(list_filter(grams, x -> x = u))
+                           * len(replace(u, ' ', ''))
+                         for u in list_distinct(grams)])
+                     ELSE 0 END AS top_cover
+              FROM g
+            ), r AS (
+              SELECT doc_id, n_tokens,
+                     round(CASE WHEN n_tokens > 0 THEN
+                       1.0 - n_distinct::DOUBLE / n_tokens
+                     ELSE 0.0 END, 6) AS dup_unigram_frac,
+                     round(CASE WHEN word_chars > 0 THEN
+                       top_cover::DOUBLE / word_chars
+                     ELSE 0.0 END, 6) AS top2gram_char_frac
+              FROM m
+            )
+            SELECT doc_id, n_tokens, dup_unigram_frac, top2gram_char_frac,
+                   (top2gram_char_frac > 0.20 OR dup_unigram_frac > 0.50)
+                     AS repetitive
+            FROM r
+        """,
+        # pii_scrub: same doc_id-derived overlay as the query; DuckDB
+        # regexp_replace needs the 'g' flag (Spark's is global by default)
+        "pii_scrub": r"""
+            WITH a AS (
+              SELECT doc_id,
+                     text || ' contact user' || doc_id ||
+                     '@example.com from 10.' || (doc_id % 250) || '.0.' ||
+                     (doc_id % 200) || ' call 415-555-' ||
+                     lpad((doc_id % 10000)::VARCHAR, 4, '0') AS aug
+              FROM documents
+            )
+            SELECT doc_id,
+                   len(regexp_extract_all(aug,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'
+                   ))::BIGINT AS n_emails,
+                   len(regexp_extract_all(aug,
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+                   len(regexp_extract_all(aug,
+                     '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b'))::BIGINT AS n_phones,
+                   md5(regexp_replace(regexp_replace(regexp_replace(aug,
+                     '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                     '<EMAIL>', 'g'),
+                     '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                     '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
+                     AS scrub_md5
+            FROM a
         """,
         # cosine in DOUBLE on both sides: DuckDB's list_cosine_similarity on
         # FLOAT[] stays float32, which diverges from Spark's double math
