@@ -182,6 +182,8 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "decontamination_hits",
                 "stratified_sample",
                 "dedup_keep_best",
+                "repetition_stats",
+                "pii_scrub",
             ]
             qs = em.queries()
             for name in headline:
