@@ -465,6 +465,17 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_sequence_packing(spark, sf_dir) -> DataFrame:
+    """Deterministic sequence packing (operators/packing.py): concatenate
+    docs in doc_id order within md5-sharded streams and cut every 512
+    whitespace tokens; each doc's placement (shard, offset, first/last
+    window) is a pure function of the rows. Plan: one exchange on shard,
+    one per-shard running-sum window, zero joins."""
+    from microdeduplication_spark.operators.packing import pack_sequences
+
+    return pack_sequences(_docs(spark, sf_dir))
+
+
 # ---------------------------------------------------------------------------
 # similarity search (embeddings)
 # ---------------------------------------------------------------------------
@@ -1101,6 +1112,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": q_lang_id,
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
+        "sequence_packing": q_sequence_packing,
         "cosine_similar_pairs": q_cosine_similar_pairs,
         "knn_top3": q_knn_top3,
         "embedding_norms": q_embedding_norms,
@@ -1809,6 +1821,35 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
                      AS scrub_md5
             FROM a
+        """,
+        # sequence_packing: md5-32 shard replayed verbatim (the exact
+        # cross-engine family sampling/doc_fingerprints prove); running sum
+        # via the same ROWS UNBOUNDED PRECEDING .. 1 PRECEDING frame
+        "sequence_packing": r"""
+            WITH t AS (
+              SELECT doc_id,
+                     len(regexp_extract_all(text, '\S+'))::BIGINT AS n_toks,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 8)
+                     )::BIGINT % 64 AS shard
+              FROM documents
+            ), c AS (
+              SELECT doc_id, shard, n_toks,
+                     COALESCE(SUM(n_toks) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_start
+              FROM t
+            )
+            SELECT doc_id, shard, n_toks, tok_start,
+                   floor(tok_start / 512.0)::BIGINT AS first_seq,
+                   CASE WHEN n_toks > 0 THEN
+                     floor((tok_start + n_toks - 1) / 512.0)::BIGINT
+                   ELSE floor(tok_start / 512.0)::BIGINT END AS last_seq,
+                   (CASE WHEN n_toks > 0 THEN
+                     floor((tok_start + n_toks - 1) / 512.0)::BIGINT
+                   ELSE floor(tok_start / 512.0)::BIGINT END)
+                     > floor(tok_start / 512.0)::BIGINT AS split_across
+            FROM c
         """,
         # cosine in DOUBLE on both sides: DuckDB's list_cosine_similarity on
         # FLOAT[] stays float32, which diverges from Spark's double math
