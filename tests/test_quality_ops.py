@@ -121,3 +121,93 @@ def test_pii_scrub_clean_text_is_identity(spark):
     )
     r = df.select(pii.scrub_pii(F.col("text")).alias("s")).collect()[0]
     assert r["s"] == "plain words only, no addresses here"
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties: engine == independent Python references on
+# arbitrary text (unicode, punctuation, control chars)
+# ---------------------------------------------------------------------------
+
+import re as _re
+
+from hypothesis import given, settings, strategies as st
+
+_SETTINGS = settings(max_examples=8, deadline=None)
+_TEXT = st.text(
+    st.characters(blacklist_categories=("Cs",)), max_size=120
+)
+
+
+def _py_repetition(text):
+    from collections import Counter as _Counter
+
+    toks = _re.findall(r"[a-z0-9]+", text.lower())
+    n, d = len(toks), len(set(toks))
+    dup = round(1.0 - d / n, 6) if n else 0.0
+    grams = _Counter(zip(toks, toks[1:]))
+    cover = max(
+        (c * (len(a) + len(b)) for (a, b), c in grams.items()), default=0
+    )
+    chars = sum(len(t) for t in toks)
+    top = round(cover / chars, 6) if chars else 0.0
+    return n, dup, top
+
+
+@_SETTINGS
+@given(st.lists(_TEXT, min_size=1, max_size=20))
+def test_repetition_fuzz_vs_python(spark, texts):
+    """Spark tokenization note: Spark lower() and Python str.lower() agree
+    on the [a-z0-9]+ extraction because the token regex only keeps ASCII."""
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    for i, t in enumerate(texts):
+        n, dup, top = _py_repetition(t)
+        r = got[i]
+        assert (r["n_tokens"], r["dup_unigram_frac"],
+                r["top2gram_char_frac"]) == (n, dup, top), (t, tuple(r))
+
+
+_EMAIL = _re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+_IP = _re.compile(r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b")
+_PHONE = _re.compile(r"\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b")
+
+_PII_ALPHABET = st.sampled_from(
+    list("ab @.-0123456789") + ["@example.com", "10.0.0.", "555-123-4567"]
+)
+
+
+@_SETTINGS
+@given(st.lists(st.lists(_PII_ALPHABET, max_size=25).map("".join),
+                min_size=1, max_size=20))
+def test_pii_fuzz_vs_python(spark, texts):
+    """Counts and scrubbed text match Python re on an alphabet dense in
+    near-miss PII fragments (partial IPs, bare @, dashed digit runs).
+
+    The alphabet stays ASCII on purpose: Python re's \\b is unicode-aware
+    while Java (Spark) and RE2 (the DuckDB oracle) default to ASCII word
+    chars -- engine and oracle agree with each other on unicode-adjacent
+    digits, but this Python reference would not, so the fuzz pins the
+    common ASCII semantics and the cross-engine pair is pinned by the
+    pii_scrub oracle itself."""
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            pii.email_count(F.col("text")).alias("e"),
+            pii.ipv4_count(F.col("text")).alias("i"),
+            pii.phone_count(F.col("text")).alias("p"),
+            pii.scrub_pii(F.col("text")).alias("s"),
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        want_s = _PHONE.sub(
+            "<PHONE>", _IP.sub("<IP>", _EMAIL.sub("<EMAIL>", t))
+        )
+        r = got[i]
+        assert (r["e"], r["i"], r["p"]) == (
+            len(_EMAIL.findall(t)), len(_IP.findall(t)),
+            len(_PHONE.findall(t))), t
+        assert r["s"] == want_s, (t, r["s"], want_s)
