@@ -184,6 +184,7 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "dedup_keep_best",
                 "repetition_stats",
                 "pii_scrub",
+                "sequence_packing",
             ]
             qs = em.queries()
             for name in headline:
