@@ -465,6 +465,59 @@ def q_pii_scrub(spark, sf_dir) -> DataFrame:
     )
 
 
+def q_training_corpus(spark, sf_dir) -> DataFrame:
+    """THE composed pipeline a training-data user actually runs, as one
+    oracle-checked unit: exact-dedup reps -> repetition filter ->
+    benchmark decontamination -> PII scrub -> stratified training-mix
+    sample -> sequence packing. All membership predicates are evaluated
+    against full-corpus context (rep = min doc_id per sha256 group over
+    ALL docs, contamination vs the doc_id%17 eval slice of ALL docs), so
+    the composition is order-free and each stage's oracle fragment
+    replays verbatim. Packing runs over the SURVIVORS' scrubbed text --
+    offsets depend on the final membership, which is exactly what the
+    composition has to get right."""
+    from microdeduplication_spark.functions import pii
+    from microdeduplication_spark.operators.decontaminate import (
+        contamination_hits_within,
+    )
+    from microdeduplication_spark.operators.packing import pack_sequences
+    from microdeduplication_spark.operators.repetition import (
+        repetition_stats,
+    )
+    from microdeduplication_spark.operators.sampling import (
+        stratified_sample,
+    )
+
+    d = _docs(spark, sf_dir)
+    w = W.partitionBy(F.sha2(F.col("text"), 256))
+    reps = d.withColumn("rep", F.min("doc_id").over(w)).where(
+        F.col("doc_id") == F.col("rep")
+    )
+    clean = repetition_stats(d).where(~F.col("repetitive")).select("doc_id")
+    contaminated = contamination_hits_within(
+        d, F.col("doc_id") % 17 == 0, n=8
+    ).select("doc_id")
+    surv = reps.join(clean, "doc_id").join(
+        contaminated, "doc_id", "left_anti"
+    )
+    surv = stratified_sample(
+        surv, {"en": 0.5, "zh": 0.3, "de": 0.25}, default_fraction=0.1
+    ).select("doc_id", "lang", pii.scrub_pii(F.col("text")).alias("scrub"))
+    return pack_sequences(
+        surv, text_col="scrub", keep=("lang", "scrub")
+    ).select(
+        "doc_id",
+        "lang",
+        F.md5("scrub").alias("scrub_md5"),
+        "shard",
+        "n_toks",
+        "tok_start",
+        "first_seq",
+        "last_seq",
+        "split_across",
+    )
+
+
 def q_sequence_packing(spark, sf_dir) -> DataFrame:
     """Deterministic sequence packing (operators/packing.py): concatenate
     docs in doc_id order within md5-sharded streams and cut every 512
@@ -1113,6 +1166,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats": q_repetition_stats,
         "pii_scrub": q_pii_scrub,
         "sequence_packing": q_sequence_packing,
+        "training_corpus": q_training_corpus,
         "cosine_similar_pairs": q_cosine_similar_pairs,
         "knn_top3": q_knn_top3,
         "embedding_norms": q_embedding_norms,
@@ -1821,6 +1875,111 @@ def oracle_sql() -> dict[str, str]:
                      '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g'))
                      AS scrub_md5
             FROM a
+        """,
+        # training_corpus: the full composed pipeline, assembled from the
+        # per-stage oracle fragments proven above/below (exact-dedup rep
+        # window, repetition CTE, the 8-gram decontamination CTE verbatim
+        # from _DECONTAMINATION_ORACLE, the PII regexp_replace chain, the
+        # stratified-sample predicate, and the packing window -- over the
+        # SURVIVORS, which is the composition-order fact under test)
+        "training_corpus": r"""
+            WITH rep AS (
+              SELECT doc_id, text, lang FROM (
+                SELECT doc_id, text, lang,
+                       MIN(doc_id) OVER (PARTITION BY sha256(text)) AS rep
+                FROM documents) WHERE doc_id = rep
+            ), rtoks AS (
+              SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+              FROM documents
+            ), rg AS (
+              SELECT doc_id, toks,
+                     CASE WHEN len(toks) >= 2 THEN
+                       [toks[i] || ' ' || toks[i+1]
+                        for i in generate_series(1, len(toks) - 1)]
+                     ELSE [] END AS grams
+              FROM rtoks
+            ), rm AS (
+              SELECT doc_id,
+                     len(toks)::BIGINT AS n_tokens,
+                     len(list_distinct(toks)) AS n_distinct,
+                     COALESCE(list_sum([len(t) for t in toks]), 0)
+                       AS word_chars,
+                     CASE WHEN len(grams) > 0 THEN
+                       list_max([
+                         len(list_filter(grams, x -> x = u))
+                           * len(replace(u, ' ', ''))
+                         for u in list_distinct(grams)])
+                     ELSE 0 END AS top_cover
+              FROM rg
+            ), rflag AS (
+              SELECT doc_id FROM (
+                SELECT doc_id,
+                       round(CASE WHEN n_tokens > 0 THEN
+                         1.0 - n_distinct::DOUBLE / n_tokens
+                       ELSE 0.0 END, 6) AS dup,
+                       round(CASE WHEN word_chars > 0 THEN
+                         top_cover::DOUBLE / word_chars
+                       ELSE 0.0 END, 6) AS top
+                FROM rm)
+              WHERE NOT (top > 0.20 OR dup > 0.50)
+            ), cgr AS (
+              SELECT doc_id,
+                     list_distinct([array_to_string(toks[i:i+7], ' ')
+                                    for i in range(1, len(toks) - 6)])
+                       AS grams
+              FROM (SELECT doc_id,
+                           regexp_extract_all(text, '[A-Za-z0-9_]+') AS toks
+                    FROM documents)
+              WHERE len(toks) >= 8
+            ), ev AS (
+              SELECT DISTINCT unnest(grams) AS gram FROM cgr
+              WHERE doc_id % 17 = 0
+            ), bad AS (
+              SELECT DISTINCT d.doc_id
+              FROM (SELECT doc_id, unnest(grams) AS gram FROM cgr) d
+              JOIN ev USING (gram)
+            ), surv AS (
+              SELECT r.doc_id, r.lang,
+                     regexp_replace(regexp_replace(regexp_replace(r.text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                       '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+                       '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')
+                       AS scrub
+              FROM rep r
+              JOIN rflag USING (doc_id)
+              WHERE r.doc_id NOT IN (SELECT doc_id FROM bad)
+                AND ('0x' || substr(md5(r.doc_id::VARCHAR), 1, 8))::BIGINT
+                    % 1000000 <
+                    CASE r.lang WHEN 'en' THEN 500000 WHEN 'zh' THEN 300000
+                                WHEN 'de' THEN 250000 ELSE 100000 END
+            ), pt AS (
+              SELECT doc_id, lang, scrub,
+                     len(regexp_extract_all(scrub, '\S+'))::BIGINT
+                       AS n_toks,
+                     ('0x' || substr(md5(doc_id::VARCHAR || 'pack'), 1, 8)
+                     )::BIGINT % 64 AS shard
+              FROM surv
+            ), pc AS (
+              SELECT doc_id, lang, scrub, shard, n_toks,
+                     COALESCE(SUM(n_toks) OVER (
+                       PARTITION BY shard ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS tok_start
+              FROM pt
+            )
+            SELECT doc_id, lang, md5(scrub) AS scrub_md5, shard, n_toks,
+                   tok_start,
+                   floor(tok_start / 512.0)::BIGINT AS first_seq,
+                   CASE WHEN n_toks > 0 THEN
+                     floor((tok_start + n_toks - 1) / 512.0)::BIGINT
+                   ELSE floor(tok_start / 512.0)::BIGINT END AS last_seq,
+                   (CASE WHEN n_toks > 0 THEN
+                     floor((tok_start + n_toks - 1) / 512.0)::BIGINT
+                   ELSE floor(tok_start / 512.0)::BIGINT END)
+                     > floor(tok_start / 512.0)::BIGINT AS split_across
+            FROM pc
         """,
         # sequence_packing: md5-32 shard replayed verbatim (the exact
         # cross-engine family sampling/doc_fingerprints prove); running sum

@@ -51,6 +51,7 @@ def pack_sequences(
     n_shards: int = DEFAULT_N_SHARDS,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep: tuple = (),
 ) -> DataFrame:
     """Per-document placement in the packed token stream.
 
@@ -60,7 +61,10 @@ def pack_sequences(
     shard-local indices of the seq_len-token windows the doc touches
     ((shard, seq) is the global sequence key), split_across flags docs
     straddling a window boundary. Tokens = whitespace runs, the same
-    count `token_stats` reports as ws_tokens.
+    count `token_stats` reports as ws_tokens. `keep` names extra input
+    columns to carry through unchanged (rides the same exchange --
+    cheaper than a join back to the input, which would re-execute the
+    input's lineage as a fork).
     """
     if seq_len <= 0 or n_shards <= 0:
         raise ValueError(
@@ -73,6 +77,7 @@ def pack_sequences(
             F.regexp_extract_all(F.col(text_col), F.lit(r"\S+"), 0)
         ).cast("long").alias("n_toks"),
         pack_shard(F.col(id_col), n_shards).alias("shard"),
+        *[F.col(k) for k in keep],
     )
     w = (
         Window.partitionBy("shard")
@@ -94,4 +99,5 @@ def pack_sequences(
         "tok_start",
         first_seq.alias("first_seq"),
         last_seq.alias("last_seq"),
+        *[F.col(k) for k in keep],
     ).withColumn("split_across", F.col("last_seq") > F.col("first_seq"))

@@ -92,3 +92,42 @@ def test_packing_rejects_bad_params(spark):
         pack_sequences(df, seq_len=0)
     with pytest.raises(ValueError):
         pack_sequences(df, n_shards=0)
+
+
+def test_training_corpus_composition(spark):
+    """The composed pipeline query: non-degenerate funnel, survivors obey
+    every stage's predicate, placement offsets are consistent prefix sums,
+    and the whole thing is deterministic across runs."""
+    import __spark_entry__ as e
+    from microdeduplication_spark.operators.repetition import (
+        repetition_stats,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    out = e.q_training_corpus(spark, sf)
+    rows = out.collect()
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    n_docs = docs.count()
+    assert 0 < len(rows) < n_docs  # filters did real work
+
+    # no survivor is repetitive
+    flags = {
+        r["doc_id"]: r["repetitive"]
+        for r in repetition_stats(docs).collect()
+    }
+    assert not any(flags[r["doc_id"]] for r in rows)
+
+    # per-shard offsets are a consistent doc_id-ordered prefix sum
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r["shard"], []).append(r)
+    for shard_rows in by_shard.values():
+        shard_rows.sort(key=lambda r: r["doc_id"])
+        off = 0
+        for r in shard_rows:
+            assert r["tok_start"] == off
+            off += r["n_toks"]
+
+    # determinism: second invocation is byte-identical
+    rows2 = e.q_training_corpus(spark, sf).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, rows2))
