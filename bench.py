@@ -185,6 +185,7 @@ def run(sf_dir: str, cpus: int, passes=("minhash", "simhash", "substring"),
                 "repetition_stats",
                 "pii_scrub",
                 "sequence_packing",
+                "training_corpus",
             ]
             qs = em.queries()
             for name in headline:
