@@ -67,9 +67,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def q_exact_dedup_clusters(spark, sf_dir) -> DataFrame:
-    """Exact dedup: cluster_id = min(doc_id) per sha256(text) group."""
-    d = _docs(spark, sf_dir).withColumn(
-        "sha", F.sha2(F.col("text").cast("binary"), 256)
+    """Exact dedup: cluster_id = min(doc_id) per sha256(text) group.
+
+    Plan shape: project to (doc_id, sha) at the scan, then ONE hash
+    exchange on sha shared by both the min-aggregation and the join
+    probe side (ReusedExchange) -- the previous shape scanned and
+    round-robin-exchanged the full text twice and added a separate agg
+    exchange (4 stage waves for a 2-wave query)."""
+    d = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(
+            "doc_id", F.sha2(F.col("text").cast("binary"), 256).alias("sha")
+        )
+        .repartition(spark.sparkContext.defaultParallelism, "sha")
     )
     groups = d.groupBy("sha").agg(F.min("doc_id").alias("cluster_id"))
     return d.join(groups, "sha").select("doc_id", "cluster_id")
@@ -154,11 +164,24 @@ def q_minhash_lsh_pairs(spark, sf_dir) -> DataFrame:
         F.lit("und").alias("lang"),
         normalize_content(F.col("text")).alias("content_norm"),
     )
-    # shingles feed both the signature/band path and the Jaccard verify:
-    # share one execution of the Arrow shingle kernel (the pipeline
-    # persists this table; the standalone query was recomputing it)
-    shingled = minhash_lsh.add_shingles(d, cfg).localCheckpoint(eager=False)
-    sigs = minhash_lsh.minhash_signatures(shingled, cfg)
+    # ONE fused Arrow pass computes shingles AND the MinHash signature
+    # (guide §4: one boundary crossing, not two); the lazy localCheckpoint
+    # shares the table between the band path and the Jaccard verify
+    from microdeduplication_spark.functions.hashing import (
+        make_shingles_sigs_udf,
+    )
+
+    fused = make_shingles_sigs_udf(
+        cfg.shingle_k, cfg.num_perms, cfg.seed, None
+    )
+    shingled = d.select(
+        "file_id", fused(F.col("content_norm")).alias("_s")
+    ).select(
+        "file_id",
+        F.col("_s.shingles").alias("shingles"),
+        F.col("_s.sig").alias("sig"),
+    ).localCheckpoint(eager=False)
+    sigs = shingled.select("file_id", "sig")
     cands = minhash_lsh.candidate_pairs(minhash_lsh.lsh_bands(sigs, cfg), cfg)
     ver = verify.verify_jaccard(cands, shingled, cfg)
     return ver.select(
@@ -365,8 +388,16 @@ def q_simhash_hamming_pairs(spark, sf_dir) -> DataFrame:
         F.lit("und").alias("lang"),
         normalize_content(F.col("text")).alias("content_norm"),
     )
-    shingled = minhash_lsh.add_shingles(d, cfg)
-    sims = sh.simhash_signatures(shingled, cfg)
+    # fused single-pass kernel, shingle column never emitted: this query
+    # needs only the 64-bit signature, so no wide array crosses Arrow
+    from microdeduplication_spark.functions.hashing import (
+        make_shingles_sigs_udf,
+    )
+
+    fused = make_shingles_sigs_udf(
+        cfg.shingle_k, None, cfg.seed, cfg.simhash_bits, emit_shingles=False
+    )
+    sims = d.select("file_id", fused(F.col("content_norm"))["sim"].alias("sim"))
     return sh.candidate_pairs(sims, cfg).select("a_id", "b_id")
 
 
@@ -489,10 +520,17 @@ def q_training_corpus(spark, sf_dir) -> DataFrame:
     )
 
     d = _docs(spark, sf_dir)
-    w = W.partitionBy(F.sha2(F.col("text"), 256))
-    reps = d.withColumn("rep", F.min("doc_id").over(w)).where(
-        F.col("doc_id") == F.col("rep")
+    # exact-dup representatives from an ids-only aggregation + semi-join
+    # (the exact_dedup operator's pattern): only (sha, doc_id) rows cross
+    # the exchange. The previous min().over(partitionBy(sha2(text))) window
+    # shuffled every full row -- including text -- on the content hash.
+    rep_ids = (
+        d.select("doc_id", F.sha2(F.col("text"), 256).alias("_sha"))
+        .groupBy("_sha")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
     )
+    reps = d.join(rep_ids, "doc_id", "left_semi")
     clean = repetition_stats(d).where(~F.col("repetitive")).select("doc_id")
     contaminated = contamination_hits_within(
         d, F.col("doc_id") % 17 == 0, n=8

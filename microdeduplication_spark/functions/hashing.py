@@ -328,6 +328,45 @@ def make_window_fp_udf(w: int, winnow: int = 1):
     return window_fp_udf
 
 
+def make_shingles_sigs_udf(k: int, num_perms: int | None, seed: int,
+                           simhash_bits: int | None,
+                           emit_shingles: bool = True):
+    """pandas_udf: content_norm -> struct(shingles?, sig?, sim?) in ONE pass.
+
+    Fuses shingling + MinHash + SimHash: the shingle arrays are born in
+    numpy here, so the signature kernels run on them directly instead of
+    round-tripping the (wide) shingle column through Arrow out of one UDF
+    stage and back into another, and the signature stage stops re-reading
+    the cached shingle table. num_perms/simhash_bits None skips that
+    family; emit_shingles=False drops the wide shingle column from the
+    output entirely (consumers that never verify -- e.g. the standalone
+    SimHash query -- pay no shingle transfer)."""
+    masks = perm_masks(num_perms, seed) if num_perms else None
+    fields = []
+    if emit_shingles:
+        fields.append(T.StructField("shingles", T.ArrayType(T.LongType())))
+    if num_perms:
+        fields.append(T.StructField("sig", T.ArrayType(T.LongType())))
+    if simhash_bits:
+        fields.append(T.StructField("sim", T.LongType()))
+    if not fields:
+        raise ValueError("fused UDF with no output columns")
+
+    @F.pandas_udf(T.StructType(fields))
+    def fused_udf(content_norm: pd.Series) -> pd.DataFrame:
+        sh = shingles_batch(content_norm, k)
+        cols = {}
+        if emit_shingles:
+            cols["shingles"] = sh
+        if masks is not None:
+            cols["sig"] = minhash_batch(sh, masks)
+        if simhash_bits:
+            cols["sim"] = simhash_batch(sh, simhash_bits)
+        return pd.DataFrame(cols)
+
+    return fused_udf
+
+
 def make_minhash_udf(num_perms: int, seed: int):
     """pandas_udf: array<long> shingles -> array<long> signature (len num_perms)."""
     masks = perm_masks(num_perms, seed)

@@ -88,6 +88,9 @@ def verify_containment(
     # compute-once for the 3 candidate consumers (ids union x2 + probe):
     # see verify.verify_jaccard for the measured duplication this avoids
     candidates = candidates.localCheckpoint(eager=False)
+    # drop the ordered `lines` column (and anything else) before the
+    # checkpoint below -- containment reads only the distinct line_set
+    lined = lined.select("file_id", "line_set")
     ids = (
         candidates.select(F.col("a_id").alias("file_id"))
         .unionByName(candidates.select(F.col("b_id").alias("file_id")))

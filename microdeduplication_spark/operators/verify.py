@@ -50,6 +50,11 @@ def verify_jaccard(
     # small pair table after its first materialization so the upstream
     # computes once; pair rows are narrow, so the checkpoint is cheap.
     candidates = candidates.localCheckpoint(eager=False)
+    # project to the two columns this verify reads BEFORE the semi-join +
+    # checkpoint below: the caller's table may carry fused signature
+    # columns, and the checkpoint materializes every column it is handed
+    # (guide §2.3: project before the exchange/barrier)
+    shingled = shingled.select("file_id", "shingles")
     ids = (
         candidates.select(F.col("a_id").alias("file_id"))
         .unionByName(candidates.select(F.col("b_id").alias("file_id")))

@@ -186,6 +186,10 @@ class _Checkpointer:
             for d in deps:
                 d.result()
             t0 = time.monotonic()
+            # job descriptions are thread-local: label this stage's
+            # materialization job so the UI/REST profile attributes CPU to
+            # the stage instead of "count at CompletableFuture"
+            self.spark.sparkContext.setJobDescription(f"stage:{stage}")
             if first:
                 row = df.first().asDict()
                 self.metrics.append(
@@ -242,8 +246,12 @@ def run_pipeline(
     eager_metrics materializes + times every in-memory stage (profiling).
     """
     cfg = cfg or DedupConfig()
+    # "layout-v2": the shingles stage now carries the fused sig/sim columns;
+    # folding a layout token into the config hash refuses checkpoint dirs
+    # written by the previous layout (clean rebuild) instead of reloading a
+    # shingles table the signatures projection cannot be built from
     ck = _Checkpointer(spark, checkpoint_dir, cfg, eager=eager_metrics,
-                       extra_key=tuple(passes))
+                       extra_key=tuple(passes) + ("stage-layout-v2",))
 
     if not any(p in passes for p in ALL_PASSES):
         raise ValueError("at least one pass required")
@@ -257,44 +265,71 @@ def run_pipeline(
 
     # ---- level 1: exact edges + shingles (independent) -------------------
     groups = exact_dedup.exact_groups(normalized)
+    if checkpoint_dir is None:
+        # three consumers (exact_edges, representatives x2 via shingles and
+        # lined): persist the tiny (norm_sha, rep_id, group_size) table so
+        # each consumer's job reuses the agg instead of re-reading the full
+        # normalized cache and re-running the hash aggregate
+        groups = groups.persist()
     ex_edges = ck.run(
         "exact_edges",
         lambda: exact_dedup.exact_edges(normalized, groups),
         ["normalized"],
     )
     reps = exact_dedup.representatives(normalized, groups)
+    if checkpoint_dir is None:
+        # two consumers (shingles, lined): persist so the normalized-cache
+        # scan + rep semi-join computes once instead of per consumer
+        reps = reps.persist()
 
-    shingled = ck.run(
-        "shingles",
-        lambda: minhash_lsh.add_shingles(reps, cfg),
-        ["normalized"],
-    )
+    need_mh = "minhash" in passes
+    need_sh = "simhash" in passes
+
+    def _build_shingled() -> DataFrame:
+        if not (need_mh or need_sh):
+            return minhash_lsh.add_shingles(reps, cfg)
+        # fused kernel: the shingle arrays are born in numpy inside ONE
+        # Arrow UDF that also computes both signature families, so the
+        # wide shingle column never round-trips JVM->Python->JVM->Python
+        # between a shingle stage and a signature stage (guide §4: control
+        # how many bytes cross the boundary)
+        from microdeduplication_spark.functions.hashing import (
+            make_shingles_sigs_udf,
+        )
+
+        fused = make_shingles_sigs_udf(
+            cfg.shingle_k,
+            cfg.num_perms if need_mh else None,
+            cfg.seed,
+            cfg.simhash_bits if need_sh else None,
+        )
+        cols = ["file_id", "lang", F.col("_s.shingles").alias("shingles")]
+        if need_mh:
+            cols.append(F.col("_s.sig").alias("sig"))
+        if need_sh:
+            cols.append(F.col("_s.sim").alias("sim"))
+        return reps.select(
+            "file_id", "lang", fused(F.col("content_norm")).alias("_s")
+        ).select(*cols)
+
+    shingled = ck.run("shingles", _build_shingled, ["normalized"])
     if checkpoint_dir is None:
         shingled = shingled.persist()
 
-    # ---- level 2: signatures (one scan computes BOTH families) +
-    #               substring fingerprints (independent of signatures) ----
+    # ---- level 2: signatures (a projection of the fused shingle table;
+    #               kept as a stage so checkpoints/metrics/consumers keep
+    #               their layout) + substring fingerprints ----------------
     cand_parts: list[DataFrame] = []
     cand_stage_names: list[str] = []
     sigs = None
-    if "minhash" in passes or "simhash" in passes:
+    if need_mh or need_sh:
 
         def _build_signatures() -> DataFrame:
-            # a single pass over the persisted shingle table evaluates both
-            # Arrow UDFs per batch: half the scans/actions of separate
-            # minhash_sigs/simhash_sigs stages
-            from microdeduplication_spark.functions.hashing import (
-                make_minhash_udf,
-                make_simhash_udf,
-            )
-
             cols = [F.col("file_id")]
-            if "minhash" in passes:
-                mh = make_minhash_udf(cfg.num_perms, cfg.seed)
-                cols.append(mh(F.col("shingles")).alias("sig"))
-            if "simhash" in passes:
-                sh = make_simhash_udf(cfg.simhash_bits)
-                cols.append(sh(F.col("shingles")).alias("sim"))
+            if need_mh:
+                cols.append(F.col("sig"))
+            if need_sh:
+                cols.append(F.col("sim"))
             return shingled.select(*cols)
 
         sigs = ck.run("signatures", _build_signatures, ["shingles"])
@@ -398,7 +433,9 @@ def run_pipeline(
     # the clusters build runs driver-side actions (connected components),
     # so its inputs must be materialized before build() executes
     ck.wait("verified", "exact_edges")
+    spark.sparkContext.setJobDescription("stage:clusters")
     clusters = ck.run("clusters", _build_clusters, ["verified", "exact_edges"])
+    spark.sparkContext.setJobDescription(None)
     ck.sync()
 
     return PipelineResult(
