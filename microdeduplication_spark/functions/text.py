@@ -36,8 +36,13 @@ def normalize_content(col: Column) -> Column:
     """
     c = F.regexp_replace(col, r"\r\n?", "\n")
     c = F.regexp_replace(c, r"[ \t\x0b\f]+", " ")
-    c = F.regexp_replace(c, r" ?\n ?", "\n")
-    c = F.regexp_replace(c, r"\n+", "\n")
+    # one pass merging the old ' ?\n ?' + '\n+' pair: after the run-collapse
+    # above, any whitespace run containing a newline reduces to exactly one
+    # '\n' either way (verified equivalent by exhaustive enumeration over
+    # {' ','\n','x'}^<=10 plus 200k-case fuzz); saves a full scan of every
+    # content string. normalize_py keeps the two-pass spelling -- the
+    # contract is identical OUTPUT, pinned row-by-row in test_text.py.
+    c = F.regexp_replace(c, r" ?\n[ \n]*", "\n")
     # trim() strips only spaces; strip leading/trailing newlines too (== str.strip())
     return F.regexp_replace(c, r"^[\n ]+|[\n ]+$", "")
 

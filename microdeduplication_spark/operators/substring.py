@@ -162,6 +162,11 @@ def substring_pairs_md5_family(
     # sets -- share one execution instead of re-scanning + re-tokenizing
     lined = lined.localCheckpoint(eager=False)
     n = F.size(F.col("toks"))
+    # ONE exchange for the whole blocking path: hash-repartition by
+    # band_hash, which (subset-clustering rule) satisfies the distinct's
+    # (file_id, band_hash) grouping AND the banded join's window/groupBy
+    # on (band_idx, band_hash) -- without it the distinct and the bucket
+    # window each exchanged the exploded fingerprint table separately
     fps = (
         lined.select(
             "file_id",
@@ -174,6 +179,7 @@ def substring_pairs_md5_family(
                 )
             ).alias("band_hash"),
         )
+        .repartition(F.col("band_hash"))
         .distinct()
         .withColumn("band_idx", F.lit(0))
     )
