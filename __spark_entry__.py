@@ -592,7 +592,10 @@ def q_cosine_similar_pairs(spark, sf_dir) -> DataFrame:
         block_grid_pairs,
     )
 
-    return block_grid_pairs(_emb(spark, sf_dir), threshold=0.45).select(
+    # direct scan: the grid decomposition's own (bi, bj) exchange is what
+    # spreads the matmul work; routing through _emb() added a round-robin
+    # exchange of every vector ahead of it (twice -- both grid sides)
+    return block_grid_pairs(_t(spark, sf_dir, "embeddings"), threshold=0.45).select(
         "a_id", "b_id", F.round(F.col("cos"), 4).alias("cos_sim")
     )
 
@@ -625,8 +628,11 @@ def q_srp_ann_pairs(spark, sf_dir) -> DataFrame:
     # 8 planes x 8 tables: collision prob per table at cos 0.45 ~ 0.03 ->
     # union recall ~0.25 at this weak-similarity threshold (ANN recall/cost
     # knob; near-dup thresholds >=0.9 recall >0.9).
+    # direct scan: the banded join's bucket exchange spreads the work;
+    # _emb()'s round-robin exchange ahead of it was pure overhead
     return srp_bucket_pairs(
-        _emb(spark, sf_dir), dim=64, n_planes=8, n_tables=8, threshold=0.45
+        _t(spark, sf_dir, "embeddings"), dim=64, n_planes=8, n_tables=8,
+        threshold=0.45
     ).select("a_id", "b_id", F.round(F.col("cos"), 4).alias("cos_sim"))
 
 
@@ -643,7 +649,9 @@ def q_srp_knn_top3(spark, sf_dir) -> DataFrame:
         srp_bucket_topk,
     )
 
-    e = _emb(spark, sf_dir)
+    # corpus side straight off the scan: the signature kernel is one
+    # matmul and the candidate join exchanges on the bucket key anyway
+    e = _t(spark, sf_dir, "embeddings")
     q = _emb_queries(spark, sf_dir)
     return srp_bucket_topk(e, q, k=3, dim=64, n_planes=8, n_tables=8).select(
         "q_id", "n_id", "rank"
@@ -661,7 +669,9 @@ def q_ivf_knn_top3(spark, sf_dir) -> DataFrame:
     test_ivf_respects_nprobe_...)."""
     from microdeduplication_spark.operators.similarity_search import ivf_topk
 
-    e = _emb(spark, sf_dir)
+    # corpus side straight off the scan: cell assignment is one matmul
+    # and the candidate join exchanges on the cell key anyway
+    e = _t(spark, sf_dir, "embeddings")
     q = _emb_queries(spark, sf_dir)
     # corpus_key: sf_dir names an immutable parquet snapshot, so the warm
     # repeat reuses the trained quantizer instead of re-running the
