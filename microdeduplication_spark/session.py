@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 
+import pandas as pd  # module-level: the prewarm UDF's type hints resolve here
 from pyspark.sql import SparkSession
 
 
@@ -45,6 +46,16 @@ def build_session(
     """
     cores = cores or os.cpu_count() or 4
     shuffle_partitions = shuffle_partitions or max(int(cores), 4)
+    # the preloading worker daemon (pydaemon.py) is imported by the python
+    # workers the JVM forks; they resolve imports from the PYTHONPATH env
+    # var (not the driver's sys.path), so make sure the repo root is there
+    # BEFORE the JVM (which inherits this environment) launches
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env_path = os.environ.get("PYTHONPATH", "")
+    if repo_root not in env_path.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            repo_root + (os.pathsep + env_path if env_path else "")
+        )
     if executors:
         per = max(cores // executors, 1)
         master = f"local-cluster[{executors},{per},{executor_mem_mb}]"
@@ -103,9 +114,31 @@ def build_session(
                 os.environ.get("SPARK_GRAFT_CACHE_COMPRESS", "false"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(32 * 1024 * 1024))
+        # fork python workers from a daemon that has numpy/pandas/pyarrow
+        # already imported (copy-on-write): the first Python-UDF stage of a
+        # session otherwise pays ~32 parallel cold imports (~108 core-s of
+        # executor wait measured at 32 slots) before any kernel runs
+        .config("spark.python.daemon.module",
+                "microdeduplication_spark.pydaemon")
     )
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if os.environ.get("SPARK_GRAFT_PREWARM", "1") != "0":
+        # spawn the per-slot python workers NOW (one trivial Arrow-UDF task
+        # per core) so the daemon start + worker forks + Arrow handshake are
+        # session-setup cost, like JVM startup, instead of landing inside
+        # the first real Python stage. Workers are reused for the session
+        # (spark.python.worker.reuse default). ~0.5 s; disable with
+        # SPARK_GRAFT_PREWARM=0.
+        from pyspark.sql import functions as F
+
+        def _identity(s: pd.Series) -> pd.Series:
+            return s
+
+        warm = F.pandas_udf(_identity, "long")
+        (spark.range(cores, numPartitions=int(cores))
+             .select(warm("id").alias("id"))
+             .write.format("noop").mode("overwrite").save())
     return spark
