@@ -322,6 +322,7 @@ def run_pipeline(
     cand_parts: list[DataFrame] = []
     cand_stage_names: list[str] = []
     sigs = None
+    sig_dep = ["signatures"]
     if need_mh or need_sh:
 
         def _build_signatures() -> DataFrame:
@@ -332,7 +333,21 @@ def run_pipeline(
                 cols.append(F.col("sim"))
             return shingled.select(*cols)
 
-        sigs = ck.run("signatures", _build_signatures, ["shingles"])
+        if checkpoint_dir is None:
+            # pure projection of the PERSISTED fused shingle table: a
+            # second cache copy + its count job bought nothing in-memory
+            # (the consumers slice the parent cache just as fast), and in
+            # the concurrent count-mode wave the extra job contended with
+            # the candidate stages. Checkpoint mode keeps the real stage
+            # (its parquet table is the resume point test_resume pins).
+            sigs = _build_signatures()
+            ck.metrics.append(
+                {"stage": "signatures", "cached": False, "wall_ms": None,
+                 "inputs": ["shingles"], "projection": True}
+            )
+            sig_dep = ["shingles"]
+        else:
+            sigs = ck.run("signatures", _build_signatures, ["shingles"])
     lined = None
     if "substring" in passes:
         lined = substring.line_hash_sets(reps)
@@ -351,11 +366,18 @@ def run_pipeline(
     bands = None
     if "minhash" in passes:
         bands = minhash_lsh.lsh_bands(sigs.select("file_id", "sig"), cfg)
+        if eager_metrics == "count" or checkpoint_dir is not None:
+            # the band table has TWO consumers on these paths (the banded
+            # join and hot_bucket_stats); a lazy localCheckpoint computes
+            # the explode + per-band xxhash once instead of per consumer
+            # (narrow (file_id, band_idx, band_hash) rows, ~24 B each).
+            # The stats-free lazy path keeps the single-consumer stream.
+            bands = bands.localCheckpoint(eager=False)
         cand_parts.append(
             ck.run(
                 "cand_minhash",
                 lambda: minhash_lsh.candidate_pairs(bands, cfg),
-                ["signatures"],
+                sig_dep,
             )
         )
         cand_stage_names.append("cand_minhash")
@@ -367,7 +389,7 @@ def run_pipeline(
             ck.defer_stats(
                 "cand_minhash_skew",
                 minhash_lsh.hot_bucket_stats(bands, cfg),
-                input_stages=["signatures"],
+                input_stages=["cand_minhash"],
             )
     if "simhash" in passes:
         cand_parts.append(
@@ -376,7 +398,7 @@ def run_pipeline(
                 lambda: simhash_op.candidate_pairs(
                     sigs.select("file_id", "sim"), cfg
                 ),
-                ["signatures"],
+                sig_dep,
             )
         )
         cand_stage_names.append("cand_simhash")
