@@ -143,3 +143,24 @@ def test_bucketed_join_colocates_without_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS bucketed_a")
         spark.sql("DROP TABLE IF EXISTS bucketed_b")
+
+
+def test_training_corpus_rep_stage_ships_ids_only(spark):
+    """The exact-dup representative stage of the composed training_corpus
+    query must never shuffle full rows (the text payload) through an
+    exchange keyed on the content hash (VERDICT r5 "What's wrong #5").
+    Pinned shape: sha2 appears only inside an ids-only projection feeding
+    the min(doc_id) aggregate + semi-join, and no window function is
+    partitioned by a sha-derived key."""
+    import __spark_entry__ as em
+
+    df = em.q_training_corpus(spark, SF_DIR)
+    opt = _optimized(df)
+    win_lines = [
+        ln for ln in opt.splitlines() if "windowspecdefinition" in ln
+    ]
+    assert win_lines, "expected the packing/lead windows in the plan"
+    assert all("sha2" not in ln for ln in win_lines), win_lines
+    sha_lines = [ln for ln in opt.splitlines() if "sha2(" in ln]
+    assert sha_lines, "expected the exact-dup sha projection"
+    assert all("Project [doc_id" in ln for ln in sha_lines), sha_lines
