@@ -78,10 +78,17 @@ def _parse_tkhd(d: bytes, s: int, e: int) -> tuple[int, float, float]:
     16.16 fixed point at the end of the 8+36-byte layer/matrix block."""
     version = d[s] if s < e else _raise_trunc()
     base = s + (32 if version == 1 else 20)  # past ctime/mtime/id/rsvd
+    # bounds-check against the tkhd box END, not the whole payload: a
+    # truncated tkhd followed by a sibling box would otherwise silently
+    # read the sibling's bytes as duration/16.16 geometry
+    if base + (8 if version == 1 else 4) > e:
+        _raise_trunc()
     duration = _u64(d, base) if version == 1 else _u32(d, base)
     # after duration: reserved u32[2], layer/alt_group/volume/reserved
     # (8 bytes), 3x3 matrix (36 bytes), then 16.16 fixed width/height
     geom = base + (8 if version == 1 else 4) + 8 + 8 + 36
+    if geom + 8 > e:
+        _raise_trunc()
     return duration, _u32(d, geom) / 65536.0, _u32(d, geom + 4) / 65536.0
 
 

@@ -484,7 +484,13 @@ def _ivf_cells(
 # warm repeat should not pay it again (VERDICT r4 ask #4). The CALLER names
 # the corpus (a path, snapshot id, ...) -- the operator cannot fingerprint
 # the DataFrame without scanning it, which would cost the job the memo
-# exists to save.
+# exists to save. CONTRACT: corpus_key must change when the snapshot it
+# names changes (an overwritten path with an unchanged key serves stale
+# centroids -- ANN-semantics drift, not wrong exact rescoring). The key
+# also folds id_col/vec_col (ADVICE r5): the same corpus_key used with a
+# different embedding column is a different training set. Entries are an
+# (n_cells, dim) float array each; the map is process-lifetime like the
+# session, bounded by the distinct (corpus, config) pairs a driver serves.
 _CENTROID_MEMO: dict[tuple, np.ndarray] = {}
 
 
@@ -512,7 +518,8 @@ def ivf_topk(
 
     if centroids is None:
         memo_key = (
-            (corpus_key, dim, n_cells, sample_n, iters, seed)
+            (corpus_key, id_col, vec_col, dim, n_cells, sample_n, iters,
+             seed)
             if corpus_key is not None
             else None
         )

@@ -1163,3 +1163,33 @@ def test_extract_frames_feeds_image_pipeline(spark):
     groups = media_exact_dedup(frame_media)
     assert groups.where(F.col("group_size") == 2).count() == 1  # 0 == 4
     assert resize_images(frame_media, 4, 4).count() == 5
+
+
+def test_mp4_truncated_tkhd_with_sibling_raises():
+    """ADVICE r5: a truncated tkhd followed by a sibling box (mdia) must
+    raise the contractual ValueError instead of silently reading the
+    sibling's bytes as 16.16 geometry (was: height=30313.39 garbage)."""
+    import struct
+
+    import pytest
+
+    from microdeduplication_spark.functions import mp4 as m
+
+    full = m._trak(b"vide", 1000, 1280, 720, 90000, 90000)
+    # rebuild the trak with the tkhd payload cut INSIDE the matrix block,
+    # keeping the mdia sibling intact after it
+    tkhd_s = 8 + 8  # trak header + tkhd header
+    tkhd_len = struct.unpack(">I", full[8:12])[0] - 8
+    tkhd_payload = full[tkhd_s:tkhd_s + tkhd_len]
+    mdia = full[tkhd_s + tkhd_len:]
+    cut = m._box(b"tkhd", tkhd_payload[:40]) + mdia
+    trak = m._box(b"trak", cut)
+    ftyp = m._box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2mp41")
+    moov = m._box(b"moov", m._mvhd(1000, 1000) + trak)
+    with pytest.raises(ValueError, match="truncated"):
+        m.parse_mp4(ftyp + moov)
+    # and a tkhd cut before the duration field
+    cut2 = m._box(b"tkhd", tkhd_payload[:10]) + mdia
+    moov2 = m._box(b"moov", m._mvhd(1000, 1000) + m._box(b"trak", cut2))
+    with pytest.raises(ValueError, match="truncated"):
+        m.parse_mp4(ftyp + moov2)
