@@ -53,6 +53,14 @@ def repetition_stats(
     Returns (id_col, n_tokens, dup_unigram_frac, top2gram_char_frac,
     repetitive); fractions rounded to 6 places for cross-engine equality.
     Docs with 0 tokens score 0.0/0.0; with <2 tokens top2gram is 0.0.
+
+    NOTE (ADVICE r5): top2gram_char_frac can EXCEED 1.0 for
+    self-overlapping repeated tokens (doc "a a a a" scores 1.5) because
+    each overlapping bigram occurrence counts the full gram characters.
+    The value is a coverage *score*, not a true fraction; threshold
+    semantics are unaffected (such docs are maximally repetitive and the
+    flag fires regardless). Kept unclamped: the oracle replays this exact
+    arithmetic, and a clamp would change declared-query output.
     """
     toks = docs.select(
         F.col(id_col),
